@@ -1,0 +1,156 @@
+"""Fused INT4 dequant+matmul kernel vs pure-jnp reference.
+
+Mirrors the reference's kernel-vs-reference grid strategy
+(tests/kernels/test_attention.py style): parameter grids over shapes and
+formats, fp32 reference math.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_quick_tpu.ops import quant_formats as qf
+from vllm_quick_tpu.ops.quant_matmul import quant_matmul
+
+SHAPES = [
+    # (M, K, N)
+    (1, 256, 128),
+    (1, 512, 384),
+    (4, 1024, 512),
+    (16, 768, 256),
+    (7, 512, 640),   # ragged M
+    (33, 2048, 512),
+]
+
+
+def _make_qw(rng, k, n, group_size=128, fmt="i8pair"):
+    w = (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+    return w, qf.quantize_reference(w, group_size=group_size, fmt=fmt)
+
+
+def test_pack_unpack_roundtrip(rng):
+    q = rng.integers(0, 16, size=(512, 256)).astype(np.uint8)
+    packed = qf.pack_i8pair(q)
+    assert packed.shape == (256, 256)
+    out = qf.unpack_i8pair(packed)
+    np.testing.assert_array_equal(q, out)
+
+
+def test_awq_unpack_order():
+    # One int32 with nibbles 0..7 in position order; logical order must
+    # follow AWQ_PACK_ORDER (dequantize.cuh semantics).
+    vals = np.arange(8, dtype=np.uint32)
+    word = np.zeros((), dtype=np.uint32)
+    for pos, v in enumerate(vals):
+        word |= v << (4 * pos)
+    out = qf.awq_unpack_int32(word.reshape(1, 1).astype(np.int32))
+    expected = np.empty(8, dtype=np.uint8)
+    for pos, elem in enumerate(qf.AWQ_PACK_ORDER):
+        expected[elem] = pos
+    np.testing.assert_array_equal(out[0], expected)
+
+
+def test_gptq_unpack_order():
+    word = np.zeros((), dtype=np.uint32)
+    for pos in range(8):
+        word |= np.uint32(pos) << (4 * pos)
+    out = qf.gptq_unpack_int32(word.reshape(1, 1).astype(np.int32), axis=0)
+    np.testing.assert_array_equal(out[:, 0], np.arange(8, dtype=np.uint8))
+
+
+def test_dequantize_close_to_original(rng):
+    w, qw = _make_qw(rng, 512, 256)
+    w_hat = np.asarray(qf.dequantize(qw, dtype=jnp.float32))
+    # int4 with per-128-group scales: max error is about scale/2.
+    scales = np.asarray(qw.scales, dtype=np.float32)[:4, :256]
+    bound = np.repeat(scales, 128, axis=0) * 0.51 + 1e-6
+    assert (np.abs(w_hat - w) <= bound).mean() > 0.999
+
+
+@pytest.mark.parametrize("m,k,n", SHAPES)
+@pytest.mark.parametrize("fmt", ["i8pair", "u4"])
+def test_fused_kernel_matches_reference(rng, m, k, n, fmt):
+    w, qw = _make_qw(rng, k, n, fmt=fmt)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    ref = qf.quant_matmul_ref(x, qw)
+    out = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_large_batch_path(rng):
+    w, qw = _make_qw(rng, 512, 256)
+    x = jnp.asarray(rng.standard_normal((128, 512)), dtype=jnp.bfloat16)
+    out = quant_matmul(x, qw)  # takes dequant+GEMM path
+    ref = qf.quant_matmul_ref(x, qw)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_batched_leading_dims(rng):
+    w, qw = _make_qw(rng, 256, 128)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)), dtype=jnp.bfloat16)
+    out = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    assert out.shape == (2, 3, 128)
+    ref = qf.quant_matmul_ref(x.reshape(6, 256), qw).reshape(2, 3, 128)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_awq_ingest_matches_manual_dequant(rng):
+    """Build a fake AWQ checkpoint layer, ingest it, and compare against
+    directly-computed (q - z) * s."""
+    k, n, g = 256, 128, 128
+    q = rng.integers(0, 16, size=(k, n)).astype(np.uint8)
+    z = rng.integers(0, 16, size=(k // g, n)).astype(np.uint8)
+    scales = (rng.standard_normal((k // g, n)) * 0.01 + 0.05).astype(
+        np.float32)
+
+    def awq_pack(arr):
+        # arr [..., N] -> int32 [..., N/8] with AWQ nibble interleave.
+        out = np.zeros((*arr.shape[:-1], arr.shape[-1] // 8), dtype=np.uint32)
+        arr = arr.reshape(*out.shape, 8)
+        for pos, elem in enumerate(qf.AWQ_PACK_ORDER):
+            out |= arr[..., elem].astype(np.uint32) << (4 * pos)
+        return out.view(np.int32)
+
+    qw = qf.from_awq(awq_pack(q), awq_pack(z), scales, group_size=g)
+    w_manual = (q.astype(np.float32) - np.repeat(z, g, 0)) * np.repeat(
+        scales, g, 0)
+    w_got = np.asarray(qf.dequantize(qw, dtype=jnp.float32))
+    np.testing.assert_allclose(w_got, w_manual, rtol=2e-2, atol=1e-3)
+
+
+def test_gptq_ingest_with_act_order(rng):
+    k, n, g = 256, 128, 128
+    q = rng.integers(0, 16, size=(k, n)).astype(np.uint8)
+    z = rng.integers(0, 15, size=(k // g, n)).astype(np.uint8)
+    scales = (rng.standard_normal((k // g, n)) * 0.01 + 0.05).astype(
+        np.float32)
+    # Scrambled act-order: k-rows assigned to groups out of order.
+    g_idx = rng.permutation(np.arange(k) // g)
+
+    def gptq_pack(arr, axis):
+        arr = np.moveaxis(arr, axis, -1)
+        out = np.zeros((*arr.shape[:-1], arr.shape[-1] // 8), dtype=np.uint32)
+        arr = arr.reshape(*out.shape, 8)
+        for pos in range(8):
+            out |= arr[..., pos].astype(np.uint32) << (4 * pos)
+        return np.moveaxis(out.view(np.int32), -1, axis)
+
+    qw = qf.from_gptq(gptq_pack(q, 0), gptq_pack(z, 1), scales,
+                      group_size=g, g_idx=g_idx)
+    assert qw.perm is not None
+
+    # Reference: w[k] = (q[k] - (z[g_idx[k]] + 1)) * s[g_idx[k]]
+    w_full = (q.astype(np.float32) - (z[g_idx].astype(np.float32) + 1.0)) \
+        * scales[g_idx]
+    x = jnp.asarray(rng.standard_normal((3, k)), dtype=jnp.float32)
+    ref = np.asarray(x, np.float32) @ w_full
+    got = np.asarray(qf.quant_matmul_ref(x, qw), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

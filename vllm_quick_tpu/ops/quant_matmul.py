@@ -1,0 +1,230 @@
+"""Fused INT4 dequant + matmul Pallas kernels for the TPU MXU.
+
+The core deliverable (SURVEY.md §2.7 AWQ row): replaces the reference's
+AWQ/GPTQ CUDA GEMMs (csrc/quantization/awq/gemm_kernels.cu:31-445,
+csrc/quantization/gptq/q_gemm.cu:93-453) with a TPU-native design.
+
+Decode kernel layout (M <= 64 tokens):
+ * x [M, K] bf16 lives whole in VMEM (at most ~1.8 MB at K=14336).
+ * grid (N tiles, K tiles), K innermost so the fp32 accumulator tile
+   stays resident; packed weight tiles stream HBM->VMEM through the
+   implicit Pallas double-buffered pipeline — the kernel is HBM-bound by
+   design and the weights are read exactly once.
+ * per 256-row superblock: extract lo/hi nibbles (2 VPU ops + convert),
+   two 128-deep MXU dots, then the group-correction
+   ``(partial - sum(x_g) * z_g) * s_g`` on the [M, TN] partial — scales
+   and zero points never touch per-element lanes.
+
+Large-M (prefill) path: dequantize to bf16 and use one XLA GEMM — the
+same >=256-token heuristic as the reference (awq.py:155-162), except the
+cutover is at the point where the MXU, not HBM, becomes the bottleneck.
+"""
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_quick_tpu.ops.quant_formats import (EFF_GROUP, SUPERBLOCK,
+                                              QuantizedWeight, dequantize,
+                                              quant_matmul_ref)
+
+# Above this token count, dequant-then-GEMM beats the fused kernel (the
+# fused kernel is tuned for the HBM-bound decode regime).
+FUSED_KERNEL_MAX_TOKENS = 64
+# Packed-weight VMEM tile budget (bytes); doubled by pipeline buffering.
+_TILE_BUDGET = 3 * 1024 * 1024 // 2
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _choose_tiles(kp: int, np_: int) -> tuple:
+    """Pick (tile_k, tile_n) minimizing grid steps under the VMEM budget.
+
+    Constraints: tile_k divides kp; tile_k/SUPERBLOCK is a multiple of 4
+    (so the [tile_k/128, tile_n] scale blocks satisfy the (8,128) sublane
+    rule) unless it equals the whole K; packed tile <= _TILE_BUDGET.
+    """
+    n_sb = kp // SUPERBLOCK
+    best = None  # (steps, -d*tn, tile_k, tile_n)
+    for tn in (1024, 512, 256, 128):
+        if np_ % tn != 0:
+            continue
+        for d in range(1, n_sb + 1):
+            if n_sb % d != 0:
+                continue
+            if d % 4 != 0 and d != n_sb:
+                continue
+            if d * (SUPERBLOCK // 2) * tn > _TILE_BUDGET:
+                continue
+            steps = (np_ // tn) * (n_sb // d)
+            cand = (steps, -(d * tn), d * SUPERBLOCK, tn)
+            if best is None or cand < best:
+                best = cand
+    if best is None:  # tiny N fallback: whole array in one block
+        return kp, np_
+    return best[2], best[3]
+
+
+def _decode_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                          tile_k: int):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_sb = tile_k // SUPERBLOCK
+    half = SUPERBLOCK // 2  # == EFF_GROUP == 128
+
+    # Static unroll: every slice index is a compile-time constant, so
+    # Mosaic emits aligned vector loads throughout.
+    acc = acc_ref[:]
+    for sb in range(n_sb):
+        # int8 [128, TN]; nibble math in i32 (Mosaic has no i8 shifts).
+        p = p_ref[sb * half:(sb + 1) * half, :].astype(jnp.int32)
+        lo = (p & 0xF).astype(jnp.bfloat16)
+        hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+        xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
+        xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
+        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
+        slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+        xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _decode_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                      tile_k: int):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_g = tile_k // EFF_GROUP
+    acc = acc_ref[:]
+    for g in range(n_g):
+        q = p_ref[g * EFF_GROUP:(g + 1) * EFF_GROUP, :].astype(jnp.bfloat16)
+        xg = x_ref[:, g * EFF_GROUP:(g + 1) * EFF_GROUP]
+        partial = jnp.dot(xg, q, preferred_element_type=jnp.float32)
+        s = s_ref[g:g + 1, :].astype(jnp.float32)
+        z = z_ref[g:g + 1, :].astype(jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (partial - xs * z) * s
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fmt_is_u4", "out_dtype", "interpret"))
+def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                           zeros: jax.Array, *, fmt_is_u4: bool = False,
+                           out_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """x: [Mp, Kp] bf16 (Mp multiple of 8, Kp of SUPERBLOCK) -> [Mp, Np]."""
+    mp, kp = x.shape
+    np_ = packed.shape[-1]
+    tile_k, tile_n = _choose_tiles(kp, np_)
+    grid = (np_ // tile_n, kp // tile_k)
+
+    if fmt_is_u4:
+        kernel = functools.partial(_decode_kernel_u4, tile_k=tile_k)
+        p_spec = pl.BlockSpec((tile_k, tile_n), lambda j, k: (k, j))
+    else:
+        kernel = functools.partial(_decode_kernel_i8pair, tile_k=tile_k)
+        p_spec = pl.BlockSpec((tile_k // 2, tile_n), lambda j, k: (k, j))
+
+    sz_spec = pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                           lambda j, k: (k, j))
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (kp * np_ // 2 + mp * kp * 2 +
+                      2 * (kp // EFF_GROUP) * np_ * 2 + mp * np_ * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mp, tile_k), lambda j, k: (0, k)),  # x k-tile
+            p_spec,
+            sz_spec,
+            sz_spec,
+        ],
+        out_specs=pl.BlockSpec((mp, tile_n), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(x, packed, scales, zeros)
+
+
+def quant_matmul(
+    x: jax.Array,
+    qw: QuantizedWeight,
+    *,
+    out_dtype=None,
+    use_kernel: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ dequant(W) for x of shape [..., K]; returns [..., N].
+
+    Dispatches between the fused Pallas decode kernel (token count <=
+    FUSED_KERNEL_MAX_TOKENS) and dequant-then-XLA-GEMM (prefill), the TPU
+    restatement of the reference's batch heuristic (awq.py:155-162).
+    """
+    out_dtype = out_dtype or x.dtype
+    *lead, k = x.shape
+    assert k == qw.in_features, (x.shape, qw.shape)
+    m = 1
+    for d in lead:
+        m *= d
+
+    if use_kernel is None:
+        use_kernel = (qw.fmt in ("i8pair", "u4")
+                      and m <= FUSED_KERNEL_MAX_TOKENS
+                      and default_backend_is_tpu())
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+
+    if not use_kernel:
+        y = quant_matmul_ref(x.reshape(m, k), qw)
+        return y.reshape(*lead, qw.out_features).astype(out_dtype)
+
+    x2 = x.reshape(m, k)
+    if qw.perm is not None:
+        x2 = jnp.take(x2, qw.perm, axis=1)
+    mp = max(8, _round_up(m, 8))
+    if mp != m or qw.padded_in != k:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, qw.padded_in - k)))
+    y = _fused_quant_matmul_2d(x2.astype(jnp.bfloat16), qw.packed, qw.scales,
+                               qw.zeros, fmt_is_u4=(qw.fmt == "u4"),
+                               out_dtype=out_dtype, interpret=interpret)
+    return y[:m, :qw.out_features].reshape(*lead, qw.out_features)
+
+
+@functools.lru_cache(maxsize=1)
+def default_backend_is_tpu() -> bool:
+    if os.environ.get("VLLM_TPU_FORCE_PALLAS"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False

@@ -1,0 +1,103 @@
+"""Small shared utilities (reference parity: vllm/utils.py)."""
+import enum
+import os
+import socket
+import uuid
+from functools import lru_cache
+from typing import List, Sequence, TypeVar
+
+import numpy as np
+import psutil
+
+T = TypeVar("T")
+
+_GB = 1 << 30
+
+
+class Device(enum.Enum):
+    """Where a physical KV block lives (reference: vllm/utils.py Device)."""
+    TPU = enum.auto()
+    CPU = enum.auto()
+
+
+class Counter:
+    """Monotonic id generator for requests / sequences."""
+
+    def __init__(self, start: int = 0) -> None:
+        self.counter = start
+
+    def __next__(self) -> int:
+        value = self.counter
+        self.counter += 1
+        return value
+
+    def reset(self) -> None:
+        self.counter = 0
+
+
+def random_uuid() -> str:
+    return str(uuid.uuid4().hex)
+
+
+def get_open_port() -> int:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, multiple: int) -> int:
+    return cdiv(x, multiple) * multiple
+
+
+def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; bounds jit recompilation (the TPU analogue of
+    the reference's CUDA-graph padded batch sizes, model_runner.py:32)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_list(x: List[T], size: int, pad: T) -> List[T]:
+    assert len(x) <= size
+    return x + [pad] * (size - len(x))
+
+
+def in_wsl() -> bool:
+    return "microsoft" in " ".join(os.uname()).lower()
+
+
+@lru_cache(maxsize=None)
+def get_cpu_memory() -> int:
+    """Total host memory in bytes."""
+    return psutil.virtual_memory().total
+
+
+def make_ndarray_with_pad(
+    x: List[List[int]],
+    pad: int,
+    dtype,
+    max_len: int | None = None,
+) -> np.ndarray:
+    """Pack ragged int lists into a padded 2D numpy array."""
+    if max_len is None:
+        max_len = max((len(row) for row in x), default=0)
+    out = np.full((len(x), max_len), pad, dtype=dtype)
+    for i, row in enumerate(x):
+        out[i, : len(row)] = row
+    return out
+
+
+STR_DTYPE_TO_JNP = {
+    "half": "float16",
+    "float16": "float16",
+    "bfloat16": "bfloat16",
+    "float": "float32",
+    "float32": "float32",
+    "fp8_e5m2": "float8_e5m2",
+    "int8": "int8",
+}
