@@ -1,0 +1,149 @@
+"""Paged decode attention: Pallas kernel (interpret) and jnp reference vs
+a straightforward per-sequence numpy oracle. Mirrors the grid style of
+the reference's tests/kernels/test_attention.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_quick_tpu.ops.attention import (make_alibi_slopes,
+                                          paged_decode_attention_ref,
+                                          prefill_attention)
+from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
+from vllm_quick_tpu.ops.paged_attention import paged_decode_attention
+
+
+def oracle_decode(q, k_cache, v_cache, block_tables, context_lens, scale,
+                  alibi=None, window=None):
+    b, hq, d = q.shape
+    _, hkv, bs, _ = k_cache.shape
+    g = hq // hkv
+    out = np.zeros((b, hq, d), dtype=np.float32)
+    for i in range(b):
+        ctx = int(context_lens[i])
+        if ctx == 0:
+            continue
+        nb = -(-ctx // bs)
+        ks = np.concatenate([k_cache[block_tables[i, j]]
+                             for j in range(nb)], axis=1)[:, :ctx]
+        vs = np.concatenate([v_cache[block_tables[i, j]]
+                             for j in range(nb)], axis=1)[:, :ctx]
+        lo = max(0, ctx - window) if window else 0
+        for h in range(hq):
+            kh = ks[h // g].astype(np.float32)
+            vh = vs[h // g].astype(np.float32)
+            logits = kh @ q[i, h].astype(np.float32) * scale
+            if alibi is not None:
+                logits += alibi[h] * (np.arange(ctx) - (ctx - 1))
+            logits = logits[lo:ctx]
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            out[i, h] = p @ vh[lo:ctx]
+    return out
+
+
+def make_case(rng, b, hq, hkv, d, bs, max_blocks, dtype=jnp.float32):
+    nb = b * max_blocks + 1
+    k_cache = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)), dtype=dtype)
+    v_cache = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)), dtype=dtype)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), dtype=dtype)
+    # Distinct physical blocks (block 0 = null, never used).
+    perm = rng.permutation(nb - 1)[:b * max_blocks] + 1
+    block_tables = jnp.asarray(perm.reshape(b, max_blocks), dtype=jnp.int32)
+    context_lens = jnp.asarray(
+        rng.integers(1, bs * max_blocks + 1, size=(b,)), dtype=jnp.int32)
+    return q, k_cache, v_cache, block_tables, context_lens
+
+
+@pytest.mark.parametrize("b,hq,hkv,d,bs,mb", [
+    (2, 4, 4, 128, 16, 4),    # MHA
+    (3, 8, 2, 128, 16, 3),    # GQA
+    (1, 8, 1, 128, 16, 8),    # MQA
+    (5, 4, 4, 64, 16, 2),     # small head_dim
+])
+def test_ref_matches_oracle(rng, b, hq, hkv, d, bs, mb):
+    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb)
+    scale = d**-0.5
+    got = np.asarray(paged_decode_attention_ref(q, kc, vc, bt, cl, scale))
+    want = oracle_decode(np.asarray(q), np.asarray(kc), np.asarray(vc),
+                         np.asarray(bt), np.asarray(cl), scale)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("b,hq,hkv,d,bs,mb", [
+    (2, 4, 4, 128, 16, 4),
+    (3, 8, 2, 128, 16, 3),
+    (2, 16, 2, 128, 16, 2),   # group > 8
+])
+def test_pallas_matches_ref(rng, b, hq, hkv, d, bs, mb):
+    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
+                                  dtype=jnp.bfloat16)
+    scale = d**-0.5
+    got = np.asarray(
+        paged_decode_attention(q, kc, vc, bt, cl, scale, interpret=True),
+        dtype=np.float32)
+    want = np.asarray(
+        paged_decode_attention_ref(q, kc, vc, bt, cl, scale),
+        dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_pallas_sliding_window_and_alibi(rng):
+    b, hq, hkv, d, bs, mb = 2, 8, 4, 128, 16, 4
+    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
+                                  dtype=jnp.bfloat16)
+    scale = d**-0.5
+    alibi = make_alibi_slopes(hq)
+    for window in (None, 20):
+        got = np.asarray(paged_decode_attention(
+            q, kc, vc, bt, cl, scale, alibi_slopes=alibi,
+            sliding_window=window, interpret=True), dtype=np.float32)
+        want = oracle_decode(np.asarray(q, np.float32), np.asarray(kc, np.float32),
+                             np.asarray(vc, np.float32), np.asarray(bt),
+                             np.asarray(cl), scale,
+                             alibi=np.asarray(alibi), window=window)
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_then_decode_consistency(rng):
+    """Write a prompt via reshape_and_cache, then decode step must attend
+    over exactly the cached prompt + itself."""
+    hq = hkv = 2
+    d, bs = 64, 16
+    ctx = 21
+    nb = 8
+    k_cache = jnp.zeros((nb, hkv, bs, d), dtype=jnp.float32)
+    v_cache = jnp.zeros((nb, hkv, bs, d), dtype=jnp.float32)
+    keys = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+    vals = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
+    blocks = [3, 5]
+    slots = jnp.asarray([blocks[t // bs] * bs + t % bs for t in range(ctx)],
+                        dtype=jnp.int32)
+    k_cache, v_cache = reshape_and_cache(keys, vals, k_cache, v_cache, slots)
+    q = jnp.asarray(rng.standard_normal((1, hq, d)), jnp.float32)
+    bt = jnp.asarray([[3, 5, 0, 0]], dtype=jnp.int32)
+    cl = jnp.asarray([ctx], dtype=jnp.int32)
+    got = np.asarray(paged_decode_attention_ref(q, k_cache, v_cache, bt, cl,
+                                                d**-0.5))
+    # oracle directly from keys/vals
+    out = np.zeros((1, hq, d), np.float32)
+    for h in range(hq):
+        logits = np.asarray(keys)[:, h] @ np.asarray(q)[0, h] * d**-0.5
+        p = np.exp(logits - logits.max())
+        p /= p.sum()
+        out[0, h] = p @ np.asarray(vals)[:, h]
+    np.testing.assert_allclose(got, out, rtol=2e-3, atol=2e-3)
+
+
+def test_prefill_attention_masks_pads(rng):
+    b, l, hq, hkv, d = 2, 12, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, l, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, hkv, d)), jnp.float32)
+    lens = jnp.asarray([12, 7], jnp.int32)
+    out = prefill_attention(q, k, v, lens, d**-0.5)
+    # Row i of seq 1 (i < 7) must be unaffected by tokens >= 7:
+    out2 = prefill_attention(q[:, :7], k[:, :7], v[:, :7],
+                             jnp.asarray([7, 7], jnp.int32), d**-0.5)
+    np.testing.assert_allclose(np.asarray(out[1, :7]),
+                               np.asarray(out2[1]), rtol=1e-4, atol=1e-4)

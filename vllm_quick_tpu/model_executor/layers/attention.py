@@ -1,0 +1,83 @@
+"""Paged attention layer module.
+
+Reference parity: vllm/model_executor/layers/attention.py:96-347 —
+writes new KV into the paged cache, then runs the prompt (causal
+flash-style) or decode (paged) attention path. GQA is handled by head
+grouping; ALiBi and sliding window are supported on both paths.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+from vllm_quick_tpu.ops.attention import (paged_decode_attention_ref,
+                                          prefill_attention)
+from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
+from vllm_quick_tpu.ops.paged_attention import (paged_decode_attention,
+                                                use_pallas_attention)
+
+KVCache = Tuple[jax.Array, jax.Array]
+
+
+class Attention:
+    """Static per-layer attention config; stateless apply."""
+
+    def __init__(
+        self,
+        num_heads: int,
+        head_size: int,
+        scale: float,
+        num_kv_heads: Optional[int] = None,
+        alibi_slopes: Optional[jax.Array] = None,
+        sliding_window: Optional[int] = None,
+    ) -> None:
+        self.num_heads = num_heads
+        self.head_size = head_size
+        self.scale = float(scale)
+        self.num_kv_heads = num_kv_heads or num_heads
+        self.alibi_slopes = alibi_slopes
+        self.sliding_window = sliding_window
+        assert self.num_heads % self.num_kv_heads == 0
+
+    def __call__(
+        self,
+        query: jax.Array,     # [B, L, Hq*D] prefill | [B, Hq*D] decode
+        key: jax.Array,       # [..., Hkv*D]
+        value: jax.Array,     # [..., Hkv*D]
+        kv_cache: KVCache,    # ([Hkv, NB, S, D], [Hkv, NB, S, D])
+        meta: InputMetadata,
+    ) -> Tuple[jax.Array, KVCache]:
+        k_cache, v_cache = kv_cache
+        lead = query.shape[:-1]
+        q = query.reshape(*lead, self.num_heads, self.head_size)
+        k = key.reshape(*lead, self.num_kv_heads, self.head_size)
+        v = value.reshape(*lead, self.num_kv_heads, self.head_size)
+
+        # Write this step's K/V to the paged cache first (attention.py:129).
+        flat_k = k.reshape(-1, self.num_kv_heads, self.head_size)
+        flat_v = v.reshape(-1, self.num_kv_heads, self.head_size)
+        k_cache, v_cache = reshape_and_cache(
+            flat_k, flat_v, k_cache, v_cache,
+            meta.slot_mapping.reshape(-1))
+
+        if meta.is_prompt:
+            out = prefill_attention(
+                q, k, v, meta.prompt_lens, self.scale,
+                alibi_slopes=self.alibi_slopes,
+                sliding_window=self.sliding_window)
+        else:
+            if use_pallas_attention():
+                out = paged_decode_attention(
+                    q, k_cache, v_cache, meta.block_tables,
+                    meta.context_lens, self.scale,
+                    alibi_slopes=self.alibi_slopes,
+                    sliding_window=self.sliding_window)
+            else:
+                out = paged_decode_attention_ref(
+                    q, k_cache, v_cache, meta.block_tables,
+                    meta.context_lens, self.scale,
+                    alibi_slopes=self.alibi_slopes,
+                    sliding_window=self.sliding_window)
+        out = out.reshape(*lead, self.num_heads * self.head_size)
+        return out, (k_cache, v_cache)

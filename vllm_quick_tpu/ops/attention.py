@@ -1,0 +1,121 @@
+"""Attention ops: batched causal prefill and paged decode.
+
+jnp reference implementations (ground truth + CPU path). The Pallas
+decode kernel in ``paged_attention_pallas.py`` is the production path;
+both share the cache layout documented in cache_ops.py.
+
+Reference parity: vllm/model_executor/layers/attention.py (prompt via
+flash attention :139-206, decode via paged_attention v1/v2 :275-347,
+ALiBi :241-272, sliding window) and csrc/attention/attention_kernels.cu
+(GQA :141-142, fp8 KV load-convert :219-228).
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def make_alibi_slopes(total_num_heads: int) -> jax.Array:
+    """Standard ALiBi slope schedule (power-of-two interpolation)."""
+    closest = 2**math.floor(math.log2(total_num_heads))
+    base = 2.0**(-(2.0**-(math.log2(closest) - 3)))
+    powers = [base**(i + 1) for i in range(closest)]
+    if closest != total_num_heads:
+        extra_base = 2.0**(-(2.0**-(math.log2(2 * closest) - 3)))
+        num_extra = min(closest, total_num_heads - closest)
+        powers += [extra_base**(2 * i + 1) for i in range(num_extra)]
+    return jnp.asarray(powers, dtype=jnp.float32)
+
+
+def prefill_attention(
+    q: jax.Array,              # [B, L, num_heads, D]
+    k: jax.Array,              # [B, L, num_kv_heads, D]
+    v: jax.Array,              # [B, L, num_kv_heads, D]
+    prompt_lens: jax.Array,    # [B] int32 (tokens beyond len are pad)
+    scale: float,
+    alibi_slopes: Optional[jax.Array] = None,   # [num_heads]
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Batched causal self-attention over (padded) prompts.
+
+    fp32 softmax; GQA handled by head-group reshape without
+    materializing repeated K/V.
+    """
+    b, l, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, l, hkv, g, d)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # [B, Hkv, G, Lq, Lk]
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qf, kf) * scale
+
+    pos = jnp.arange(l)
+    causal = pos[None, :, None] >= pos[None, None, :]          # [1, Lq, Lk]
+    valid = pos[None, None, :] < prompt_lens[:, None, None]    # [B, 1, Lk]
+    mask = jnp.logical_and(causal, valid)
+    if sliding_window is not None:
+        in_window = pos[None, :, None] - pos[None, None, :] < sliding_window
+        mask = jnp.logical_and(mask, in_window)
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(hkv, g)
+        bias = slopes[None, :, :, None, None] * (
+            pos[None, None, None, None, :] -
+            pos[None, None, None, :, None]).astype(jnp.float32)
+        logits = logits + bias
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    return out.reshape(b, l, hq, d).astype(q.dtype)
+
+
+def paged_decode_attention_ref(
+    q: jax.Array,               # [B, num_heads, D]
+    k_cache: jax.Array,         # [num_blocks, Hkv, block_size, D]
+    v_cache: jax.Array,         # [num_blocks, Hkv, block_size, D]
+    block_tables: jax.Array,    # [B, max_blocks] int32
+    context_lens: jax.Array,    # [B] int32 (includes current token)
+    scale: float,
+    alibi_slopes: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Gather-based paged attention for one decode token per sequence.
+
+    Ground truth for the Pallas kernel and the CPU execution path. The
+    current token's K/V must already be written to the cache (same
+    contract as the reference: attention.py:129-137 writes first, then
+    attends).
+    """
+    b, hq, d = q.shape
+    _, hkv, bs, _ = k_cache.shape
+    g = hq // hkv
+    mb = block_tables.shape[1]
+    t = mb * bs
+
+    flat = block_tables.reshape(-1)                       # [B*MB]
+    # [B*MB, Hkv, S, D] -> [B, Hkv, T, D]
+    k = k_cache[flat].reshape(b, mb, hkv, bs, d).swapaxes(1, 2) \
+        .reshape(b, hkv, t, d)
+    v = v_cache[flat].reshape(b, mb, hkv, bs, d).swapaxes(1, 2) \
+        .reshape(b, hkv, t, d)
+
+    qf = q.astype(jnp.float32).reshape(b, hkv, g, d)
+    logits = jnp.einsum("bhgd,bhtd->bhgt", qf,
+                        k.astype(jnp.float32)) * scale
+
+    pos = jnp.arange(t)[None, :]                          # [1, T]
+    mask = pos < context_lens[:, None]                    # [B, T]
+    if sliding_window is not None:
+        mask = jnp.logical_and(
+            mask, pos >= context_lens[:, None] - sliding_window)
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(hkv, g)
+        dist = (pos - (context_lens[:, None] - 1)).astype(jnp.float32)
+        logits = logits + slopes[None, :, :, None] * dist[:, None, None, :]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgt,bhtd->bhgd", probs, v.astype(jnp.float32))
+    return out.reshape(b, hq, d).astype(q.dtype)

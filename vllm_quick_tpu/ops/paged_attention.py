@@ -1,0 +1,223 @@
+"""Pallas paged-attention decode kernel.
+
+TPU-native replacement for the reference's PagedAttention v1/v2 CUDA
+kernels (csrc/attention/attention_kernels.cu:91-560): grid over
+sequences; the block table is scalar-prefetched into SMEM; each KV
+block is fetched for *all* heads with one large HBM->VMEM DMA (double
+buffered) — the DMA-issue-rate analogue of the CUDA kernel's coalesced
+warp loads; softmax is online (running max/denominator) in fp32, like
+the CUDA kernel's online softmax + v2 partitioning. GQA processes each
+kv-head's whole query group together (attention_kernels.cu:141-142).
+
+Layout contract (ops/cache_ops.py):
+    k_cache, v_cache: [num_blocks, num_kv_heads, block_size, head_dim]
+"""
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_quick_tpu.ops.attention import NEG_INF
+
+
+def use_pallas_attention() -> bool:
+    if os.environ.get("VLLM_TPU_DISABLE_PALLAS_ATTN"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
+
+
+def _decode_kernel(
+    # scalar prefetch
+    block_tables_ref,    # [B, MB] int32 (SMEM)
+    context_lens_ref,    # [B] int32 (SMEM)
+    # inputs
+    q_ref,               # [1, Hkv*Gp, D] VMEM
+    k_hbm,               # [NB, Hkv, S, D] ANY (HBM)
+    v_hbm,               # [NB, Hkv, S, D] ANY (HBM)
+    alibi_ref,           # [Hkv*Gp, 1] f32 VMEM or None
+    # outputs
+    o_ref,               # [1, Hkv*Gp, D] VMEM (fp32)
+    # scratch
+    k_buf, v_buf,        # [2, Hkv, S, D] VMEM
+    k_sem, v_sem,        # [2] DMA semaphores
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    gp: int,
+    scale: float,
+    sliding_window: Optional[int],
+):
+    b = pl.program_id(0)
+    ctx = context_lens_ref[b]
+    s_blk = block_size
+    num_blocks = jax.lax.div(ctx + s_blk - 1, s_blk)
+
+    def start_dma(slot, j):
+        blk = block_tables_ref[b, j]
+        pltpu.make_async_copy(k_hbm.at[blk], k_buf.at[slot],
+                              k_sem.at[slot]).start()
+        pltpu.make_async_copy(v_hbm.at[blk], v_buf.at[slot],
+                              v_sem.at[slot]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot],
+                              k_sem.at[slot]).wait()
+        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot],
+                              v_sem.at[slot]).wait()
+
+    @pl.when(num_blocks > 0)
+    def _():
+        start_dma(0, 0)
+
+    q = q_ref[0].astype(jnp.float32)                     # [Hkv*Gp, D]
+    rows = num_kv_heads * gp
+
+    def body(j, carry):
+        m, l, acc = carry                                # [rows,1]x2,[rows,D]
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < num_blocks)
+        def _():
+            start_dma(1 - slot, j + 1)
+
+        wait_dma(slot)
+
+        # Per-kv-head scores, assembled into [rows, S].
+        s_parts = []
+        for h in range(num_kv_heads):
+            qh = q[h * gp:(h + 1) * gp, :]               # [Gp, D]
+            kh = k_buf[slot, h].astype(jnp.float32)      # [S, D]
+            s_parts.append(jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        s = jnp.concatenate(s_parts, axis=0) * scale     # [rows, S]
+
+        pos = j * s_blk + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, s_blk), 1)
+        mask = pos < ctx
+        if sliding_window is not None:
+            mask = jnp.logical_and(mask, pos >= ctx - sliding_window)
+        if alibi_ref is not None:
+            slopes = alibi_ref[:, :]                     # [rows, 1]
+            s = s + slopes * (pos - (ctx - 1)).astype(jnp.float32)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)                           # [rows, S]
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        # Per-head p @ v, assembled back to [rows, D].
+        o_parts = []
+        for h in range(num_kv_heads):
+            ph = p[h * gp:(h + 1) * gp, :]               # [Gp, S]
+            vh = v_buf[slot, h].astype(jnp.float32)      # [S, D]
+            o_parts.append(jnp.dot(ph, vh,
+                                   preferred_element_type=jnp.float32))
+        pv = jnp.concatenate(o_parts, axis=0)            # [rows, D]
+        acc = acc * alpha + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((rows, 1), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((rows, q.shape[1]), dtype=jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    o_ref[0] = acc / jnp.maximum(l, 1e-20)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gp", "scale", "sliding_window", "interpret"))
+def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
+                  alibi, *, gp, scale, sliding_window, interpret=False):
+    b, rows, d = q.shape
+    nb, hkv, s, _ = k_cache.shape
+
+    kernel = functools.partial(
+        _decode_kernel,
+        block_size=s,
+        num_kv_heads=hkv,
+        gp=gp,
+        scale=scale,
+        sliding_window=sliding_window,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if alibi is not None:
+        in_specs.append(pl.BlockSpec((rows, 1), lambda i, *_: (0, 0)))
+        args = [q, k_cache, v_cache, alibi]
+    else:
+        # Pallas maps None inputs through; pass a dummy removed below.
+        def kernel_noalibi(bt, cl, q_ref, k_hbm, v_hbm, o_ref,
+                           k_buf, v_buf, k_sem, v_sem):
+            return _decode_kernel(bt, cl, q_ref, k_hbm, v_hbm, None,
+                                  o_ref, k_buf, v_buf, k_sem, v_sem,
+                                  block_size=s, num_kv_heads=hkv, gp=gp,
+                                  scale=scale,
+                                  sliding_window=sliding_window)
+        kernel = kernel_noalibi
+        args = [q, k_cache, v_cache]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, s, d), k_cache.dtype),
+            pltpu.VMEM((2, hkv, s, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, rows, d), jnp.float32),
+        interpret=interpret,
+    )(block_tables, context_lens, *args)
+
+
+def paged_decode_attention(
+    q: jax.Array,               # [B, Hq, D]
+    k_cache: jax.Array,         # [NB, Hkv, S, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,    # [B, MB] int32
+    context_lens: jax.Array,    # [B] int32
+    scale: float,
+    alibi_slopes: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    b, hq, d = q.shape
+    hkv = k_cache.shape[1]
+    g = hq // hkv
+    # Pad each kv-head's query group to a sublane multiple.
+    gp = max(8, -(-g // 8) * 8)
+    qg = q.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    qg = qg.reshape(b, hkv * gp, d)
+    alibi = None
+    if alibi_slopes is not None:
+        al = jnp.pad(alibi_slopes.reshape(hkv, g), ((0, 0), (0, gp - g)))
+        alibi = al.reshape(hkv * gp, 1).astype(jnp.float32)
+    out = _paged_decode(qg.astype(jnp.bfloat16), k_cache, v_cache,
+                        block_tables.astype(jnp.int32),
+                        context_lens.astype(jnp.int32), alibi,
+                        gp=gp, scale=float(scale),
+                        sliding_window=sliding_window,
+                        interpret=interpret)
+    out = out.reshape(b, hkv, gp, d)[:, :, :g, :].reshape(b, hq, d)
+    return out.astype(q.dtype)
