@@ -1,0 +1,218 @@
+"""Llama-family causal LM (functional JAX).
+
+Capability parity with the reference implementation
+(vllm/model_executor/models/llama.py:1-387): RMSNorm pre-norm decoder
+with fused QKV, RoPE, GQA paged attention, SwiGLU MLP, optional
+quantized linears, tied or untied LM head. The same module also serves
+Llama-derived architectures (Mistral's sliding window is a config knob,
+reference mistral.py).
+
+Design: static layer objects + a params pytree; ``forward`` is a pure
+function suitable for jit/shard_map with donated KV caches.
+"""
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+from vllm_quick_tpu.model_executor.layers.activation import silu_and_mul
+from vllm_quick_tpu.model_executor.layers.attention import Attention, KVCache
+from vllm_quick_tpu.model_executor.layers.layernorm import (
+    fused_add_rms_norm, rms_norm)
+from vllm_quick_tpu.model_executor.layers.linear import apply_linear
+from vllm_quick_tpu.model_executor.layers.rotary_embedding import get_rope
+from vllm_quick_tpu.model_executor.layers.vocab_embedding import (
+    embed, unembed)
+from vllm_quick_tpu.model_executor.param_builder import ParamBuilder
+from vllm_quick_tpu.parallel.mesh import ParallelContext
+
+
+class LlamaForCausalLM:
+    supports_quantization = True
+
+    def __init__(self, hf_config, quant=None,
+                 ctx: ParallelContext = ParallelContext(),
+                 dtype: str = "bfloat16") -> None:
+        self.config = hf_config
+        self.quant = quant
+        self.ctx = ctx
+        self.dtype = dtype
+
+        tp = ctx.tp_size
+        self.vocab_size = hf_config.vocab_size
+        self.hidden_size = hf_config.hidden_size
+        self.num_layers = hf_config.num_hidden_layers
+        total_heads = hf_config.num_attention_heads
+        total_kv = getattr(hf_config, "num_key_value_heads", total_heads)
+        assert total_heads % tp == 0, (total_heads, tp)
+        assert total_kv % tp == 0 or tp % total_kv == 0
+        self.num_heads = total_heads // tp
+        self.num_kv_heads = max(1, total_kv // tp)
+        self.head_dim = getattr(hf_config, "head_dim", None) or \
+            hf_config.hidden_size // total_heads
+        self.scale = self.head_dim**-0.5
+        self.rms_eps = getattr(hf_config, "rms_norm_eps", 1e-6)
+        self.sliding_window = getattr(hf_config, "sliding_window", None)
+        self.tie_embeddings = getattr(hf_config, "tie_word_embeddings",
+                                      False)
+
+        rope_theta = getattr(hf_config, "rope_theta", 10000.0)
+        max_pos = getattr(hf_config, "max_position_embeddings", 8192)
+        self.rope = get_rope(self.head_dim, self.head_dim, max_pos,
+                             rope_theta, is_neox_style=True,
+                             rope_scaling=getattr(hf_config, "rope_scaling",
+                                                  None))
+        self.attn = Attention(self.num_heads, self.head_dim, self.scale,
+                              num_kv_heads=self.num_kv_heads,
+                              sliding_window=self.sliding_window)
+
+    # -- forward -----------------------------------------------------------
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        input_ids: jax.Array,          # [B, L] prefill | [B] decode
+        positions: jax.Array,          # same shape as input_ids
+        kv_caches: List[KVCache],
+        meta: InputMetadata,
+    ) -> Tuple[jax.Array, List[KVCache]]:
+        h = embed(params["embed"], input_ids, self.ctx)
+        residual = None
+        new_caches = []
+        for i, layer in enumerate(params["layers"]):
+            if residual is None:
+                residual = h
+                x = rms_norm(h, layer["input_norm"], self.rms_eps)
+            else:
+                x, residual = fused_add_rms_norm(
+                    h, residual, layer["input_norm"], self.rms_eps)
+            x, cache = self._attention_block(layer, x, positions,
+                                             kv_caches[i], meta)
+            new_caches.append(cache)
+            x, residual = fused_add_rms_norm(
+                x, residual, layer["post_norm"], self.rms_eps)
+            x = self._mlp_block(layer, x)
+            h = x
+        h, _ = fused_add_rms_norm(h, residual, params["final_norm"],
+                                  self.rms_eps)
+        return h, new_caches
+
+    def _attention_block(self, layer, x, positions, kv_cache, meta):
+        qkv = apply_linear(layer["qkv"], x)
+        q_sz = self.num_heads * self.head_dim
+        kv_sz = self.num_kv_heads * self.head_dim
+        q = qkv[..., :q_sz]
+        k = qkv[..., q_sz:q_sz + kv_sz]
+        v = qkv[..., q_sz + kv_sz:]
+        lead = q.shape[:-1]
+        qh = q.reshape(*lead, self.num_heads, self.head_dim)
+        kh = k.reshape(*lead, self.num_kv_heads, self.head_dim)
+        qh, kh = self.rope(positions, qh, kh)
+        out, kv_cache = self.attn(qh.reshape(*lead, -1),
+                                  kh.reshape(*lead, -1), v, kv_cache, meta)
+        out = apply_linear(layer["o"], out)
+        out = self.ctx.tp_all_reduce(out)
+        return out, kv_cache
+
+    def _mlp_block(self, layer, x):
+        gate_up = apply_linear(layer["gate_up"], x)
+        x = silu_and_mul(gate_up)
+        x = apply_linear(layer["down"], x)
+        return self.ctx.tp_all_reduce(x)
+
+    def compute_logits(self, params: Dict[str, Any],
+                       hidden: jax.Array) -> jax.Array:
+        return unembed(hidden, params["lm_head"], self.vocab_size, self.ctx)
+
+    # -- loading -----------------------------------------------------------
+
+    def kv_cache_shape(self, num_blocks: int,
+                       block_size: int) -> Tuple[int, ...]:
+        return (num_blocks, self.num_kv_heads, block_size, self.head_dim)
+
+    def load_params(self, weights: Dict[str, np.ndarray],
+                    tp_rank: int = 0) -> Dict[str, Any]:
+        pb = ParamBuilder(weights, self.quant, self.dtype,
+                          tp_rank=tp_rank, tp_size=self.ctx.tp_size)
+        return self.build_params(pb)
+
+    def build_params(self, pb: ParamBuilder) -> Dict[str, Any]:
+        params: Dict[str, Any] = {}
+        params["embed"] = pb.array("model.embed_tokens.weight",
+                                   shard_axis=0 if pb.tp_size > 1 else None)
+        layers = []
+        for i in range(self.num_layers):
+            pfx = f"model.layers.{i}"
+            qkv, _ = pb.linear([f"{pfx}.self_attn.q_proj",
+                                f"{pfx}.self_attn.k_proj",
+                                f"{pfx}.self_attn.v_proj"],
+                               shard="col", bias=True)
+            o, _ = pb.linear([f"{pfx}.self_attn.o_proj"], shard="row")
+            gate_up, _ = pb.linear([f"{pfx}.mlp.gate_proj",
+                                    f"{pfx}.mlp.up_proj"], shard="col")
+            down, _ = pb.linear([f"{pfx}.mlp.down_proj"], shard="row")
+            layers.append({
+                "input_norm": pb.array(f"{pfx}.input_layernorm.weight"),
+                "post_norm": pb.array(
+                    f"{pfx}.post_attention_layernorm.weight"),
+                "qkv": qkv,
+                "o": o,
+                "gate_up": gate_up,
+                "down": down,
+            })
+        params["layers"] = layers
+        params["final_norm"] = pb.array("model.norm.weight")
+        if self.tie_embeddings or not pb.has("lm_head.weight"):
+            params["lm_head"] = params["embed"].T
+        else:
+            params["lm_head"] = pb.array(
+                "lm_head.weight", transpose=True,
+                shard_axis=1 if pb.tp_size > 1 else None)
+        return params
+
+    def init_dummy_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random init with checkpoint-equivalent shapes (reference:
+        weight_utils.py:286 initialize_dummy_weights)."""
+        rng = np.random.default_rng(seed)
+        cfg = self.config
+        e = self.hidden_size
+        inter = cfg.intermediate_size
+
+        def dense(k, n):
+            from vllm_quick_tpu.model_executor.layers.linear import (
+                LinearWeights)
+            from vllm_quick_tpu.ops import quant_formats as qf
+            w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
+            if self.quant is not None:
+                return LinearWeights(qw=qf.quantize_reference(w))
+            return LinearWeights(w=jnp.asarray(w, dtype=self.dtype))
+
+        q_sz = self.num_heads * self.head_dim
+        kv_sz = self.num_kv_heads * self.head_dim
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "input_norm": jnp.ones((e,), dtype=self.dtype),
+                "post_norm": jnp.ones((e,), dtype=self.dtype),
+                "qkv": dense(e, q_sz + 2 * kv_sz),
+                "o": dense(q_sz, e),
+                "gate_up": dense(e, 2 * inter // self.ctx.tp_size),
+                "down": dense(inter // self.ctx.tp_size, e),
+            })
+        embed_w = jnp.asarray(
+            rng.standard_normal((self.vocab_size, e)) * 0.02,
+            dtype=self.dtype)
+        return {
+            "embed": embed_w,
+            "layers": layers,
+            "final_norm": jnp.ones((e,), dtype=self.dtype),
+            "lm_head": embed_w.T,
+        }
+
+
+class MistralForCausalLM(LlamaForCausalLM):
+    """Mistral = Llama decoder + sliding-window attention
+    (reference: vllm/model_executor/models/mistral.py, 377 LoC)."""
