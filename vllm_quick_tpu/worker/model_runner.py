@@ -1,0 +1,318 @@
+"""Builds batched device inputs from scheduler metadata and drives the
+jitted model step.
+
+Reference parity: vllm/worker/model_runner.py:35-865 — _prepare_prompt /
+_prepare_decode / _prepare_sample, execute_model, dummy profile_run.
+CUDA-graph capture (:658-737) is replaced by jit with *bucketed static
+shapes*: each (phase, batch-bucket, length-bucket) traces once and is
+cached by XLA; KV caches are donated so updates are in-place.
+"""
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_quick_tpu.config import (CacheConfig, ModelConfig, ParallelConfig,
+                                   SchedulerConfig)
+from vllm_quick_tpu.logger import init_logger
+from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+from vllm_quick_tpu.model_executor.layers.sampler import Sampler
+from vllm_quick_tpu.model_executor.model_loader import get_model
+from vllm_quick_tpu.model_executor.sampling_metadata import (
+    build_sampling_tensors)
+from vllm_quick_tpu.parallel.mesh import ParallelContext
+from vllm_quick_tpu.sampling_params import SamplingParams, SamplingType
+from vllm_quick_tpu.sequence import (SamplerOutput, SequenceGroupMetadata,
+                                     SequenceGroupOutput, SequenceOutput)
+from vllm_quick_tpu.utils import make_ndarray_with_pad, pad_to_bucket
+
+logger = init_logger(__name__)
+
+_DECODE_BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+_PREFILL_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+                32768)
+_BLOCK_TABLE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+class ModelRunner:
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        ctx: ParallelContext = ParallelContext(),
+        lora_config=None,
+    ) -> None:
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.ctx = ctx
+        self.lora_config = lora_config
+
+        self.block_size = cache_config.block_size
+        self.model = None
+        self.params = None
+        self.sampler: Optional[Sampler] = None
+        self._jit_step = None
+        self._rng_counter = 0
+
+    # -- setup ---------------------------------------------------------------
+
+    def load_model(self) -> None:
+        self.model, self.params = get_model(self.model_config, self.ctx)
+        self.sampler = Sampler(self.model_config.get_vocab_size())
+        model = self.model
+
+        def _step(params, input_ids, positions, kv_caches, meta,
+                  prompt_lens):
+            hidden, new_caches = model.forward(params, input_ids, positions,
+                                               kv_caches, meta)
+            if meta.is_prompt:
+                # Last real token of each prompt row.
+                idx = jnp.maximum(prompt_lens - 1, 0)
+                hidden = jnp.take_along_axis(
+                    hidden, idx[:, None, None], axis=1)[:, 0]
+            logits = model.compute_logits(params, hidden)
+            return logits, new_caches
+
+        self._jit_step = jax.jit(_step, donate_argnums=(3,))
+
+    # -- input preparation -----------------------------------------------
+
+    def _slot(self, block_table: List[int], pos: int) -> int:
+        block = block_table[pos // self.block_size]
+        return block * self.block_size + pos % self.block_size
+
+    def _prepare_prompt(
+        self, metas: List[SequenceGroupMetadata]
+    ) -> Tuple[jax.Array, jax.Array, InputMetadata, np.ndarray]:
+        ids_list: List[List[int]] = []
+        pos_list: List[List[int]] = []
+        slot_list: List[List[int]] = []
+        lens: List[int] = []
+        for m in metas:
+            seq_id = next(iter(m.seq_data))
+            data = m.seq_data[seq_id]
+            tokens = data.get_token_ids()
+            bt = m.block_tables[seq_id] if m.block_tables else None
+            # Prefix caching: skip already-computed prefix tokens.
+            start = 0
+            if m.prefix is not None and m.prefix.computed:
+                start = m.prefix.get_length()
+            ids_list.append(tokens[start:])
+            pos_list.append(list(range(start, len(tokens))))
+            slot_list.append(
+                [self._slot(bt, p) for p in range(start, len(tokens))])
+            lens.append(len(tokens) - start)
+
+        b = pad_to_bucket(len(metas), _PREFILL_BATCH_BUCKETS)
+        lmax = pad_to_bucket(max(lens), _LEN_BUCKETS)
+        ids = make_ndarray_with_pad(ids_list, 0, np.int32, lmax)
+        pos = make_ndarray_with_pad(pos_list, 0, np.int32, lmax)
+        slots = make_ndarray_with_pad(slot_list, 0, np.int32, lmax)
+        pad_rows = b - len(metas)
+        if pad_rows:
+            ids = np.pad(ids, ((0, pad_rows), (0, 0)))
+            pos = np.pad(pos, ((0, pad_rows), (0, 0)))
+            slots = np.pad(slots, ((0, pad_rows), (0, 0)))
+        prompt_lens = np.asarray(lens + [0] * pad_rows, dtype=np.int32)
+
+        # Prefix-cached prompts need block tables + context for attention
+        # over the cached part (not yet wired into prefill attention; the
+        # scheduler only marks prefixes computed after this lands).
+        meta = InputMetadata(
+            is_prompt=True,
+            slot_mapping=jnp.asarray(slots),
+            prompt_lens=jnp.asarray(prompt_lens),
+        )
+        return jnp.asarray(ids), jnp.asarray(pos), meta, prompt_lens
+
+    def _prepare_decode(
+        self, metas: List[SequenceGroupMetadata]
+    ) -> Tuple[jax.Array, jax.Array, InputMetadata, np.ndarray]:
+        ids: List[int] = []
+        pos: List[int] = []
+        slots: List[int] = []
+        ctx_lens: List[int] = []
+        block_tables: List[List[int]] = []
+        for m in metas:
+            for seq_id in sorted(m.seq_data):
+                data = m.seq_data[seq_id]
+                tok = data.get_last_token_id()
+                p = data.get_len() - 1
+                bt = m.block_tables[seq_id]
+                ids.append(tok)
+                pos.append(p)
+                slots.append(self._slot(bt, p))
+                if self.model.sliding_window is not None:
+                    sw_blocks = self.model.sliding_window // self.block_size
+                    bt = bt[-sw_blocks:]
+                    ctx_lens.append(min(data.get_len(),
+                                        self.model.sliding_window))
+                else:
+                    ctx_lens.append(data.get_len())
+                block_tables.append(bt)
+
+        b = pad_to_bucket(len(ids), _DECODE_BATCH_BUCKETS)
+        mb = pad_to_bucket(max(len(bt) for bt in block_tables),
+                           _BLOCK_TABLE_BUCKETS)
+        bt_arr = make_ndarray_with_pad(block_tables, 0, np.int32, mb)
+        pad = b - len(ids)
+        if pad:
+            bt_arr = np.pad(bt_arr, ((0, pad), (0, 0)))
+        meta = InputMetadata(
+            is_prompt=False,
+            slot_mapping=jnp.asarray(np.asarray(slots + [0] * pad,
+                                                np.int32)),
+            context_lens=jnp.asarray(
+                np.asarray(ctx_lens + [0] * pad, np.int32)),
+            block_tables=jnp.asarray(bt_arr),
+        )
+        ids_arr = jnp.asarray(np.asarray(ids + [0] * pad, np.int32))
+        pos_arr = jnp.asarray(np.asarray(pos + [0] * pad, np.int32))
+        return ids_arr, pos_arr, meta, np.zeros(b, np.int32)
+
+    # -- execution ---------------------------------------------------------
+
+    def execute_model(
+        self,
+        metas: List[SequenceGroupMetadata],
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+    ) -> Tuple[Optional[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
+        if not metas:
+            return None, kv_caches
+        is_prompt = metas[0].is_prompt
+        if is_prompt:
+            ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
+        else:
+            ids, pos, meta, prompt_lens = self._prepare_decode(metas)
+
+        logits, kv_caches = self._jit_step(self.params, ids, pos, kv_caches,
+                                           meta, jnp.asarray(prompt_lens))
+
+        sampler_output = self._sample(metas, logits)
+        return sampler_output, kv_caches
+
+    def _sample(self, metas: List[SequenceGroupMetadata],
+                logits: jax.Array) -> SamplerOutput:
+        # One sampling row per (group) at prefill / per (seq) at decode.
+        seq_data = []
+        params: List[SamplingParams] = []
+        row_seq_ids: List[int] = []
+        row_groups: List[int] = []
+        for gi, m in enumerate(metas):
+            sids = (sorted(m.seq_data)[:1] if m.is_prompt
+                    else sorted(m.seq_data))
+            for sid in sids:
+                seq_data.append(m.seq_data[sid])
+                params.append(m.sampling_params)
+                row_seq_ids.append(sid)
+                row_groups.append(gi)
+
+        self._rng_counter += 1
+        tensors, flags, n = build_sampling_tensors(
+            seq_data, params, self.model_config.get_vocab_size(),
+            step_seed=self._rng_counter)
+        sp = tensors.temperatures.shape[0]
+        if logits.shape[0] < sp:
+            logits = jnp.pad(logits, ((0, sp - logits.shape[0]), (0, 0)))
+        chosen, chosen_lp, top_lp, top_ids = self.sampler(
+            logits[:sp], tensors, flags)
+
+        chosen = np.asarray(chosen)
+        chosen_lp = np.asarray(chosen_lp)
+        top_lp = np.asarray(top_lp)
+        top_ids = np.asarray(top_ids)
+
+        # Host-side assembly into SequenceGroupOutputs.
+        out: SamplerOutput = []
+        row = 0
+        for gi, m in enumerate(metas):
+            rows = [r for r in range(len(row_groups))
+                    if row_groups[r] == gi]
+            sp_params = m.sampling_params
+            samples: List[SequenceOutput] = []
+            if sp_params.use_beam_search:
+                samples = self._beam_samples(m, rows, row_seq_ids, seq_data,
+                                             top_lp, top_ids)
+            elif m.is_prompt and sp_params.best_of > 1:
+                r = rows[0]
+                for j in range(sp_params.best_of):
+                    token = int(chosen[r, j])
+                    lp = self._logprobs_dict(token, float(chosen_lp[r, j]),
+                                             sp_params.logprobs, top_lp[r],
+                                             top_ids[r])
+                    samples.append(SequenceOutput(row_seq_ids[r], token, lp))
+            else:
+                for r in rows:
+                    token = int(chosen[r, 0])
+                    lp = self._logprobs_dict(token, float(chosen_lp[r, 0]),
+                                             sp_params.logprobs, top_lp[r],
+                                             top_ids[r])
+                    samples.append(SequenceOutput(row_seq_ids[r], token, lp))
+            out.append(SequenceGroupOutput(samples, prompt_logprobs=None))
+        return out
+
+    def _logprobs_dict(self, token: int, token_lp: float,
+                       num_logprobs: Optional[int], top_lp: np.ndarray,
+                       top_ids: np.ndarray) -> Dict[int, float]:
+        lp = {token: token_lp}
+        if num_logprobs:
+            for j in range(min(num_logprobs, len(top_ids))):
+                lp.setdefault(int(top_ids[j]), float(top_lp[j]))
+        return lp
+
+    def _beam_samples(self, m: SequenceGroupMetadata, rows: List[int],
+                      row_seq_ids: List[int], seq_data, top_lp: np.ndarray,
+                      top_ids: np.ndarray) -> List[SequenceOutput]:
+        """Beam candidate generation (semantics of the reference's
+        _beam_search_sample, sampler.py:359-423): top 2*bw (seq, token)
+        pairs ranked by cumulative logprob."""
+        bw = m.sampling_params.best_of
+        n_cand = 2 * bw
+        if m.is_prompt:
+            r = rows[0]
+            samples = []
+            for j in range(n_cand):
+                token = int(top_ids[r, j])
+                samples.append(SequenceOutput(
+                    row_seq_ids[r], token,
+                    {token: float(top_lp[r, j])}))
+            return samples
+        cands = []
+        for r in rows:
+            cum = seq_data[r].cumulative_logprob
+            for j in range(min(n_cand, top_ids.shape[1])):
+                cands.append((cum + float(top_lp[r, j]), r,
+                              int(top_ids[r, j]), float(top_lp[r, j])))
+        cands.sort(reverse=True)
+        samples = []
+        for score, r, token, lp in cands[:n_cand]:
+            samples.append(SequenceOutput(row_seq_ids[r], token,
+                                          {token: lp}))
+        return samples
+
+    # -- profiling -----------------------------------------------------------
+
+    def profile_run(self, kv_caches) -> None:
+        """Max-batch dummy forward to warm the compile cache (reference:
+        model_runner.py:577-630)."""
+        max_tokens = self.scheduler_config.max_num_batched_tokens
+        max_seqs = min(self.scheduler_config.max_num_seqs, 8)
+        seq_len = max_tokens // max_seqs
+        from vllm_quick_tpu.sequence import SequenceData
+        metas = []
+        for i in range(max_seqs):
+            metas.append(SequenceGroupMetadata(
+                request_id=str(i), is_prompt=True,
+                seq_data={i: SequenceData([0] * seq_len)},
+                sampling_params=SamplingParams(temperature=0.0),
+                block_tables={i: [0] * (-(-seq_len // self.block_size))},
+            ))
+        self.execute_model(metas, kv_caches)

@@ -1,0 +1,140 @@
+"""Per-host execution worker.
+
+Reference parity: vllm/worker/worker.py:24-301. TPU-native deltas: one
+worker drives all local chips via SPMD (no Ray per-GPU actors, no NCCL
+init dance — SURVEY.md §7 design delta 1); memory profiling uses device
+memory stats instead of torch.cuda.mem_get_info; CUDA-graph warmup is
+replaced by jit bucket warmup.
+"""
+import gc
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_quick_tpu.config import (CacheConfig, DeviceConfig, LoRAConfig,
+                                   ModelConfig, ParallelConfig,
+                                   SchedulerConfig)
+from vllm_quick_tpu.logger import init_logger
+from vllm_quick_tpu.parallel.mesh import ParallelContext
+from vllm_quick_tpu.sequence import SamplerOutput, SequenceGroupMetadata
+from vllm_quick_tpu.worker.cache_engine import CacheEngine
+from vllm_quick_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+_GB = 1 << 30
+# v5e = 16 GiB/chip; overridable for other generations / test rigs.
+_DEFAULT_HBM_BYTES = int(
+    float(os.environ.get("VLLM_TPU_HBM_GB", "16")) * _GB)
+
+
+class Worker:
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        device_config: DeviceConfig,
+        cache_config: CacheConfig,
+        lora_config: Optional[LoRAConfig] = None,
+        ctx: ParallelContext = ParallelContext(),
+    ) -> None:
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.device_config = device_config
+        self.cache_config = cache_config
+        self.lora_config = lora_config
+        self.ctx = ctx
+
+        self.model_runner = ModelRunner(model_config, parallel_config,
+                                        scheduler_config, cache_config,
+                                        ctx=ctx, lora_config=lora_config)
+        self.cache_engine: Optional[CacheEngine] = None
+
+    def init_model(self) -> None:
+        # SPMD: nothing to initialize per-process; the mesh is built by
+        # the engine. Seed the host RNG for reproducible dummy weights.
+        pass
+
+    def load_model(self) -> None:
+        self.model_runner.load_model()
+
+    # -- memory profiling ----------------------------------------------------
+
+    def _device_memory(self) -> Tuple[int, int]:
+        """(used_bytes, limit_bytes) for device 0."""
+        dev = jax.devices()[0]
+        try:
+            stats = dev.memory_stats()
+            if stats and "bytes_limit" in stats:
+                return (stats.get("bytes_in_use", 0), stats["bytes_limit"])
+        except Exception:
+            pass
+        # Fallback: estimate model bytes from the params pytree.
+        used = 0
+        if self.model_runner.params is not None:
+            for leaf in jax.tree_util.tree_leaves(self.model_runner.params):
+                if hasattr(leaf, "nbytes"):
+                    used += leaf.nbytes
+        return used, _DEFAULT_HBM_BYTES
+
+    def profile_num_available_blocks(
+        self,
+        block_size: int,
+        gpu_memory_utilization: float,
+        cpu_swap_space: int,
+        cache_dtype: str,
+    ) -> Tuple[int, int]:
+        """HBM budget -> #device blocks; swap space -> #host blocks
+        (reference: worker.py:104-147)."""
+        used, limit = self._device_memory()
+        cache_block_size = CacheEngine.get_cache_block_size(
+            block_size, cache_dtype, self.model_config,
+            self.parallel_config)
+        # Reserve headroom for activations/jit temporaries: 10% of limit.
+        budget = int(limit * gpu_memory_utilization) - used - int(
+            0.10 * limit)
+        num_device_blocks = max(budget // cache_block_size, 0)
+        num_cpu_blocks = int(cpu_swap_space // cache_block_size)
+        logger.info(
+            "Memory profile: used=%.2f GiB limit=%.2f GiB "
+            "block=%d KiB -> %d device blocks, %d host blocks",
+            used / _GB, limit / _GB, cache_block_size // 1024,
+            num_device_blocks, num_cpu_blocks)
+        gc.collect()
+        return int(num_device_blocks), num_cpu_blocks
+
+    def init_cache_engine(self, cache_config: CacheConfig) -> None:
+        self.cache_config = cache_config
+        self.cache_engine = CacheEngine(cache_config, self.model_config,
+                                        self.parallel_config)
+
+    def warm_up_model(self) -> None:
+        if not self.model_config.enforce_eager:
+            self.model_runner.profile_run(self.cache_engine.device_cache)
+
+    # -- execution -----------------------------------------------------------
+
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        blocks_to_swap_in: Dict[int, int],
+        blocks_to_swap_out: Dict[int, int],
+        blocks_to_copy: Dict[int, List[int]],
+    ) -> Optional[SamplerOutput]:
+        if blocks_to_swap_in:
+            self.cache_engine.swap_in(blocks_to_swap_in)
+        if blocks_to_swap_out:
+            self.cache_engine.swap_out(blocks_to_swap_out)
+        if blocks_to_copy:
+            self.cache_engine.copy(blocks_to_copy)
+        if not seq_group_metadata_list:
+            return None
+        output, new_caches = self.model_runner.execute_model(
+            seq_group_metadata_list, self.cache_engine.device_cache)
+        self.cache_engine.device_cache = new_caches
+        return output
