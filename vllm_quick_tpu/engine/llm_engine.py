@@ -20,7 +20,7 @@ from vllm_quick_tpu.engine.arg_utils import EngineArgs
 from vllm_quick_tpu.engine.metrics import StatLogger, Stats
 from vllm_quick_tpu.logger import init_logger
 from vllm_quick_tpu.outputs import RequestOutput
-from vllm_quick_tpu.parallel.mesh import ParallelContext
+from vllm_quick_tpu.parallel.mesh import ParallelContext, make_mesh
 from vllm_quick_tpu.sampling_params import SamplingParams
 from vllm_quick_tpu.sequence import (SamplerOutput, Sequence, SequenceGroup,
                                      SequenceGroupOutput, SequenceStatus)
@@ -70,9 +70,15 @@ class LLMEngine:
             dp_size=parallel_config.data_parallel_size,
             ep_size=parallel_config.expert_parallel_size,
         )
+        mesh = None
+        if parallel_config.world_size > 1:
+            mesh = make_mesh(
+                tensor_parallel_size=parallel_config.tensor_parallel_size,
+                data_parallel_size=parallel_config.data_parallel_size,
+                expert_parallel_size=parallel_config.expert_parallel_size)
         self.worker = Worker(model_config, parallel_config,
                              scheduler_config, device_config, cache_config,
-                             lora_config, ctx=ctx)
+                             lora_config, ctx=ctx, mesh=mesh)
         self.worker.init_model()
         self.worker.load_model()
         self._init_cache()

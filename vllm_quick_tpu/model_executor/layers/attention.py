@@ -67,7 +67,7 @@ class Attention:
                 alibi_slopes=self.alibi_slopes,
                 sliding_window=self.sliding_window)
         else:
-            if use_pallas_attention():
+            if use_pallas_attention(self.head_size, k_cache.shape[2]):
                 out = paged_decode_attention(
                     q, k_cache, v_cache, meta.block_tables,
                     meta.context_lens, self.scale,

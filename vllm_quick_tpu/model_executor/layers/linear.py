@@ -27,6 +27,11 @@ class LinearWeights:
     w: Optional[jax.Array] = None           # dense [K, N]
     qw: Optional[QuantizedWeight] = None    # packed INT4
     bias: Optional[jax.Array] = None        # [N]
+    # TP sharding of this layer: 'col' (N split, like ColumnParallelLinear),
+    # 'row' (K split + psum after, like RowParallelLinear) or 'none'.
+    # Drives mechanical PartitionSpec derivation (parallel/sharding.py).
+    shard: str = dataclasses.field(default="none",
+                                   metadata=dict(static=True))
 
     @property
     def out_features(self) -> int:

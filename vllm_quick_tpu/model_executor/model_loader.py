@@ -30,9 +30,16 @@ def get_model(
     model_config: ModelConfig,
     ctx: ParallelContext = ParallelContext(),
     tp_rank: int = 0,
+    mesh=None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Returns (model, params). ``model`` is the static module tree;
-    ``params`` the weight pytree (host->device placed by the worker)."""
+    ``params`` the weight pytree (host->device placed by the worker).
+
+    With ``ctx.tp_size > 1`` and a mesh, per-rank shards are loaded the
+    way the reference's weight_loader slices at load time
+    (weight_utils.py:203-261) and assembled into mesh-sharded global
+    arrays (parallel/sharding.py).
+    """
     cls = _get_model_cls(model_config)
     # Auto-detect checkpoint quantization even when not requested
     # (reference: config.py _verify_quantization + weight_utils.py:86).
@@ -50,10 +57,27 @@ def get_model(
 
     model = cls(model_config.hf_config, quant=quant, ctx=ctx,
                 dtype=model_config.dtype)
-    if model_config.load_format == "dummy":
-        params = model.init_dummy_params(model_config.seed)
-    else:
+    dummy = model_config.load_format == "dummy"
+    if not dummy:
         weights = collect_weights(model_config.model,
                                   model_config.load_format)
+
+    if ctx.tp_size > 1:
+        from vllm_quick_tpu.parallel.sharding import (
+            assemble_global_params, param_pspecs)
+        rank_params = []
+        for r in range(ctx.tp_size):
+            if dummy:
+                rank_params.append(model.init_dummy_params(
+                    model_config.seed))
+            else:
+                rank_params.append(model.load_params(weights, tp_rank=r))
+        specs = param_pspecs(rank_params[0])
+        params = assemble_global_params(rank_params, specs, mesh)
+        return model, params
+
+    if dummy:
+        params = model.init_dummy_params(model_config.seed)
+    else:
         params = model.load_params(weights, tp_rank=tp_rank)
     return model, params

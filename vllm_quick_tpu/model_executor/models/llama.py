@@ -143,13 +143,16 @@ class LlamaForCausalLM:
         params: Dict[str, Any] = {}
         params["embed"] = pb.array("model.embed_tokens.weight",
                                    shard_axis=0 if pb.tp_size > 1 else None)
+        cfg = self.config
+        total_heads = cfg.num_attention_heads
+        total_kv = getattr(cfg, "num_key_value_heads", total_heads)
         layers = []
         for i in range(self.num_layers):
             pfx = f"model.layers.{i}"
-            qkv, _ = pb.linear([f"{pfx}.self_attn.q_proj",
-                                f"{pfx}.self_attn.k_proj",
-                                f"{pfx}.self_attn.v_proj"],
-                               shard="col", bias=True)
+            qkv = pb.qkv(f"{pfx}.self_attn.q_proj",
+                         f"{pfx}.self_attn.k_proj",
+                         f"{pfx}.self_attn.v_proj",
+                         total_heads, total_kv, self.head_dim, bias=True)
             o, _ = pb.linear([f"{pfx}.self_attn.o_proj"], shard="row")
             gate_up, _ = pb.linear([f"{pfx}.mlp.gate_proj",
                                     f"{pfx}.mlp.up_proj"], shard="col")
@@ -181,14 +184,16 @@ class LlamaForCausalLM:
         e = self.hidden_size
         inter = cfg.intermediate_size
 
-        def dense(k, n):
+        def dense(k, n, shard="none"):
             from vllm_quick_tpu.model_executor.layers.linear import (
                 LinearWeights)
             from vllm_quick_tpu.ops import quant_formats as qf
             w = (rng.standard_normal((k, n)) * 0.02).astype(np.float32)
             if self.quant is not None:
-                return LinearWeights(qw=qf.quantize_reference(w))
-            return LinearWeights(w=jnp.asarray(w, dtype=self.dtype))
+                return LinearWeights(qw=qf.quantize_reference(w),
+                                     shard=shard)
+            return LinearWeights(w=jnp.asarray(w, dtype=self.dtype),
+                                 shard=shard)
 
         q_sz = self.num_heads * self.head_dim
         kv_sz = self.num_kv_heads * self.head_dim
@@ -197,13 +202,16 @@ class LlamaForCausalLM:
             layers.append({
                 "input_norm": jnp.ones((e,), dtype=self.dtype),
                 "post_norm": jnp.ones((e,), dtype=self.dtype),
-                "qkv": dense(e, q_sz + 2 * kv_sz),
-                "o": dense(q_sz, e),
-                "gate_up": dense(e, 2 * inter // self.ctx.tp_size),
-                "down": dense(inter // self.ctx.tp_size, e),
+                "qkv": dense(e, q_sz + 2 * kv_sz, shard="col"),
+                "o": dense(q_sz, e, shard="row"),
+                "gate_up": dense(e, 2 * inter // self.ctx.tp_size,
+                                 shard="col"),
+                "down": dense(inter // self.ctx.tp_size, e, shard="row"),
             })
+        # Vocab-parallel: each rank holds a [V/tp, E] shard (padded up).
+        v_local = -(-self.vocab_size // self.ctx.tp_size)
         embed_w = jnp.asarray(
-            rng.standard_normal((self.vocab_size, e)) * 0.02,
+            rng.standard_normal((v_local, e)) * 0.02,
             dtype=self.dtype)
         return {
             "embed": embed_w,

@@ -3,8 +3,13 @@
 The TPU restatement of the reference's per-parameter ``weight_loader``
 machinery (vllm/model_executor/layers/linear.py loaders + model
 ``load_weights``, e.g. llama.py:346-387): fused-shard concatenation
-(qkv, gate+up), tensor-parallel slicing at load time, and quantized
+(qkv, gate+up), tensor-parallel slicing at load time, KV-head
+replication when tp > num_kv_heads (config.py:259-267), and quantized
 tensor ingestion (AWQ/GPTQ -> TPU packed format, ops/quant_formats.py).
+
+Quantized tensors are first unpacked to a *canonical* form
+(q [K, N] int, zeros/scales [K/G, N] float) so TP slicing is uniform
+across checkpoint formats, then re-packed into the TPU layout.
 """
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -56,57 +61,130 @@ class ParamBuilder:
     def has(self, name: str) -> bool:
         return name in self.weights
 
-    # -- linear layers -----------------------------------------------------
+    # -- TP ranges -----------------------------------------------------------
 
-    def _col_slice(self, w: np.ndarray, axis: int, div: int = 1
-                   ) -> np.ndarray:
-        """Slice this rank's column shard along ``axis`` (dim already
-        divided by ``div`` for packed tensors)."""
+    def _unit_range(self, total_units: int) -> Tuple[int, int]:
+        """This rank's (start, count) over ``total_units`` shardable
+        units (heads / whole tensors). When tp > units, units are
+        replicated across rank groups (KV-head replication,
+        reference config.py:259-267)."""
+        if self.tp_size == 1:
+            return 0, total_units
+        if total_units % self.tp_size == 0:
+            per = total_units // self.tp_size
+            return self.tp_rank * per, per
+        assert self.tp_size % total_units == 0, (total_units, self.tp_size)
+        rep = self.tp_size // total_units
+        return self.tp_rank // rep, 1
+
+    def _col_slice(self, w: np.ndarray, axis: int) -> np.ndarray:
+        """Even slice of this rank's shard along ``axis``."""
         if self.tp_size == 1:
             return w
         n = w.shape[axis]
-        assert n % self.tp_size == 0
+        assert n % self.tp_size == 0, (w.shape, axis, self.tp_size)
         sz = n // self.tp_size
         idx = [slice(None)] * w.ndim
         idx[axis] = slice(self.tp_rank * sz, (self.tp_rank + 1) * sz)
         return w[tuple(idx)]
+
+    # -- canonical quant form ------------------------------------------------
+
+    def _is_quant(self, prefix: str) -> bool:
+        return (self.quant is not None
+                and f"{prefix}.qweight" in self.weights)
+
+    def _canonical_quant(
+        self, prefix: str
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """One layer's quantized tensors -> (q [K,N] uint8-valued,
+        zeros [K/G,N] f32, scales [K/G,N] f32, perm [K] | None)."""
+        q_cfg = self.quant
+        qw = self.weights[f"{prefix}.qweight"]
+        qz = self.weights[f"{prefix}.qzeros"]
+        sc = self.weights[f"{prefix}.scales"].astype(np.float32)
+        if q_cfg.method == "awq":
+            # qweight int32 [K, N/8]; qzeros int32 [K/G, N/8]
+            q = qf.awq_unpack_int32(qw)
+            z = qf.awq_unpack_int32(qz).astype(np.float32)
+            return q, z, sc, None
+        if q_cfg.method == "gptq":
+            # qweight int32 [K/8, N]; qzeros int32 [K/G, N/8]
+            q = qf.gptq_unpack_int32(qw, axis=0)
+            z = qf.gptq_unpack_int32(qz, axis=1).astype(np.float32) + 1.0
+            perm = None
+            gi = self.weights.get(f"{prefix}.g_idx")
+            if gi is not None and q_cfg.desc_act:
+                gi = np.asarray(gi)
+                k = q.shape[0]
+                g = q_cfg.group_size if q_cfg.group_size > 0 else k
+                if not np.array_equal(gi, np.arange(k) // g):
+                    perm = np.argsort(gi, kind="stable").astype(np.int32)
+                    q = q[perm]
+            return q, z, sc, perm
+        raise ValueError(f"Unsupported quant method {q_cfg.method}")
+
+    def _group_size(self, k: int) -> int:
+        g = self.quant.group_size
+        return k if g in (-1, None) else g
+
+    # -- linear layers -----------------------------------------------------
 
     def linear(
         self,
         prefixes: Sequence[str],
         shard: str = "col",          # 'col' | 'row' | 'none'
         bias: bool = False,
+        part_units: Optional[List[int]] = None,
     ) -> Tuple[LinearWeights, Optional[jnp.ndarray]]:
         """Build one (possibly fused) linear from HF prefixes.
 
-        Returns (LinearWeights, row_bias). For row-parallel layers the
-        bias must be applied after the TP all-reduce, so it is returned
-        separately instead of living inside LinearWeights.
+        ``part_units``: shardable unit count per prefix for 'col' layers
+        (e.g. head counts for q/k/v); defaults to ``tp_size`` even
+        slicing. Returns (LinearWeights, row_bias): row-parallel bias
+        must be applied after the TP reduce, so it is returned
+        separately.
         """
-        is_quant = (self.quant is not None
-                    and f"{prefixes[0]}.qweight" in self.weights)
-        if is_quant:
-            lw = self._quant_linear(prefixes, shard)
+        if part_units is None:
+            part_units = [None] * len(prefixes)
+
+        def col_range(n_cols: int, units: Optional[int]
+                      ) -> Tuple[int, int]:
+            if shard != "col" or self.tp_size == 1:
+                return 0, n_cols
+            if units is None:
+                assert n_cols % self.tp_size == 0, (n_cols, self.tp_size)
+                sz = n_cols // self.tp_size
+                return self.tp_rank * sz, sz
+            start, cnt = self._unit_range(units)
+            dim = n_cols // units
+            assert dim * units == n_cols
+            return start * dim, cnt * dim
+
+        if self._is_quant(prefixes[0]):
+            lw = self._quant_fused(prefixes, shard, part_units, col_range)
         else:
             parts = []
-            for p in prefixes:
+            for p, units in zip(prefixes, part_units):
                 w = self.weights[f"{p}.weight"].T      # HF [N,K] -> [K,N]
                 if shard == "col":
-                    w = self._col_slice(w, axis=1)
+                    s, c = col_range(w.shape[1], units)
+                    w = w[:, s:s + c]
                 elif shard == "row":
                     w = self._col_slice(w, axis=0)
                 parts.append(w)
             w = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             lw = LinearWeights(w=jnp.asarray(np.ascontiguousarray(w),
-                                             dtype=self.dtype))
+                                             dtype=self.dtype), shard=shard)
 
         b = None
         if bias and f"{prefixes[0]}.bias" in self.weights:
             bs = []
-            for p in prefixes:
+            for p, units in zip(prefixes, part_units):
                 bv = self.weights[f"{p}.bias"]
                 if shard == "col":
-                    bv = self._col_slice(bv, axis=0)
+                    s, c = col_range(bv.shape[0], units)
+                    bv = bv[s:s + c]
                 bs.append(bv)
             b = jnp.asarray(np.concatenate(bs) if len(bs) > 1 else bs[0],
                             dtype=self.dtype)
@@ -115,45 +193,63 @@ class ParamBuilder:
                 b = None
         return lw, b
 
-    def _quant_linear(self, prefixes: Sequence[str],
-                      shard: str) -> LinearWeights:
-        q = self.quant
-        qws, qzs, scs, gidxs = [], [], [], []
-        for p in prefixes:
-            qw = self.weights[f"{p}.qweight"]
-            qz = self.weights[f"{p}.qzeros"]
-            sc = self.weights[f"{p}.scales"].astype(np.float32)
-            gi = self.weights.get(f"{p}.g_idx")
+    def qkv(
+        self,
+        q_prefix: str,
+        k_prefix: str,
+        v_prefix: str,
+        total_heads: int,
+        total_kv_heads: int,
+        head_dim: int,
+        bias: bool = False,
+    ) -> LinearWeights:
+        """Fused QKV with head-aware TP sharding + KV replication
+        (reference QKVParallelLinear, linear.py:312)."""
+        del head_dim  # implied by column count / head count
+        lw, _ = self.linear(
+            [q_prefix, k_prefix, v_prefix], shard="col", bias=bias,
+            part_units=[total_heads, total_kv_heads, total_kv_heads])
+        return lw
+
+    def _quant_fused(self, prefixes, shard, part_units, col_range
+                     ) -> LinearWeights:
+        qs, zs, ss = [], [], []
+        perm = None
+        for p, units in zip(prefixes, part_units):
+            q, z, s, pm = self._canonical_quant(p)
             if shard == "col":
-                # N is packed /8 in AWQ qweight/qzeros (axis 1 for both).
-                qw = self._col_slice(qw, axis=1)
-                qz = self._col_slice(qz, axis=1)
-                sc = self._col_slice(sc, axis=1)
-            elif shard == "row":
-                qw = self._col_slice(qw, axis=0)
-                qz = self._col_slice(qz, axis=0)
-                sc = self._col_slice(sc, axis=0)
-                if gi is not None:
-                    gi = self._col_slice(gi, axis=0)
-            qws.append(qw)
-            qzs.append(qz)
-            scs.append(sc)
-            gidxs.append(gi)
-        if q.method == "awq":
-            qw = np.concatenate(qws, axis=1) if len(qws) > 1 else qws[0]
-            qz = np.concatenate(qzs, axis=1) if len(qzs) > 1 else qzs[0]
-            sc = np.concatenate(scs, axis=1) if len(scs) > 1 else scs[0]
-            return LinearWeights(qw=qf.from_awq(
-                qw, qz, sc, group_size=q.group_size, fmt=self.fmt))
-        if q.method == "gptq":
-            qw = np.concatenate(qws, axis=1) if len(qws) > 1 else qws[0]
-            qz = np.concatenate(qzs, axis=1) if len(qzs) > 1 else qzs[0]
-            sc = np.concatenate(scs, axis=1) if len(scs) > 1 else scs[0]
-            gi = gidxs[0] if gidxs[0] is not None and q.desc_act else None
-            return LinearWeights(qw=qf.from_gptq(
-                qw, qz, sc, group_size=q.group_size, g_idx=gi,
-                fmt=self.fmt))
-        raise ValueError(f"Unsupported quant method {q.method}")
+                st, c = col_range(q.shape[1], units)
+                q, z, s = q[:, st:st + c], z[:, st:st + c], s[:, st:st + c]
+            elif shard == "row" and self.tp_size > 1:
+                assert pm is None, \
+                    "GPTQ act-order + row-parallel TP is unsupported; " \
+                    "load with desc_act handling on a single chip."
+                k = q.shape[0]
+                g = self._group_size(k)
+                k_local = k // self.tp_size
+                assert g <= k_local and k_local % g == 0, (
+                    "row-parallel K shard must align to quant groups",
+                    k, g, self.tp_size)
+                q = q[self.tp_rank * k_local:(self.tp_rank + 1) * k_local]
+                gl = k_local // g
+                z = z[self.tp_rank * gl:(self.tp_rank + 1) * gl]
+                s = s[self.tp_rank * gl:(self.tp_rank + 1) * gl]
+            if pm is not None:
+                perm = pm
+            qs.append(q)
+            zs.append(z)
+            ss.append(s)
+        q = np.concatenate(qs, axis=1) if len(qs) > 1 else qs[0]
+        z = np.concatenate(zs, axis=1) if len(zs) > 1 else zs[0]
+        s = np.concatenate(ss, axis=1) if len(ss) > 1 else ss[0]
+        g = self._group_size(q.shape[0] * (self.tp_size
+                                           if shard == "row" else 1))
+        if g > q.shape[0]:
+            g = q.shape[0]
+        qw = qf.build_quantized_weight(q, z, s, g, self.fmt)
+        if perm is not None:
+            qw.perm = jnp.asarray(perm)
+        return LinearWeights(qw=qw, shard=shard)
 
     def quantize_dense(self, prefixes: Sequence[str], shard: str = "col",
                        group_size: int = 128) -> LinearWeights:
@@ -169,4 +265,5 @@ class ParamBuilder:
             parts.append(w)
         w = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         return LinearWeights(qw=qf.quantize_reference(
-            w.astype(np.float32), group_size=group_size, fmt=self.fmt))
+            w.astype(np.float32), group_size=group_size, fmt=self.fmt),
+            shard=shard)

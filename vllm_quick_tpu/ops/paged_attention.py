@@ -24,8 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_quick_tpu.ops.attention import NEG_INF
 
 
-def use_pallas_attention() -> bool:
+def use_pallas_attention(head_size: int = 128,
+                         block_size: int = 16) -> bool:
+    """Compiled Pallas path requires lane-aligned head_dim (the cache's
+    last dim is tiled (·,128) in HBM; a narrower head cannot be
+    memref-sliced) and sublane-aligned block_size."""
     if os.environ.get("VLLM_TPU_DISABLE_PALLAS_ATTN"):
+        return False
+    if head_size % 128 != 0 or block_size % 8 != 0:
         return False
     try:
         return jax.default_backend() not in ("cpu", "gpu")

@@ -1,0 +1,192 @@
+"""PartitionSpec derivation + sharded param assembly for TP/DP execution.
+
+TPU-native replacement for the reference's NCCL parallel layers
+(vllm/model_executor/layers/linear.py:127-552 Column/RowParallelLinear
+and vocab_parallel_embedding.py): instead of per-rank processes holding
+local shards, one host process assembles *global* arrays whose sharded
+axis is laid out rank-major, places them on the mesh with
+``NamedSharding``, and runs the model inside ``jax.shard_map`` — each
+device then sees exactly the shard the reference's ``weight_loader``
+would have loaded for that rank, and ``psum``/``all_gather`` inside the
+model (parallel/mesh.py ParallelContext) become ICI collectives.
+
+PartitionSpecs are derived mechanically from the param pytree:
+``LinearWeights.shard`` ('col' | 'row') marks how each linear splits,
+dict keys 'embed' / 'lm_head' mark the vocab-parallel tables, and
+everything else (norms, biases of row layers) is replicated.
+"""
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vllm_quick_tpu.model_executor.layers.linear import LinearWeights
+from vllm_quick_tpu.ops.quant_formats import QuantizedWeight
+from vllm_quick_tpu.parallel.mesh import TP_AXIS
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpec derivation
+# ---------------------------------------------------------------------------
+
+def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str
+                  ) -> QuantizedWeight:
+    """Spec tree for a packed INT4 weight. All three arrays share the
+    [K-like, N] layout, so col-parallel shards axis 1 and row-parallel
+    shards axis 0 (each rank's K-shard was packed independently, so the
+    global packed array is a rank-major concat along axis 0)."""
+    if shard == "col":
+        arr = P(None, tp_axis)
+    elif shard == "row":
+        arr = P(tp_axis, None)
+    else:
+        arr = P()
+    perm = None
+    if qw.perm is not None:
+        # GPTQ act-order permutation indexes this rank's local K shard.
+        perm = P(tp_axis) if shard == "row" else P()
+    return dataclasses.replace(qw, packed=arr, scales=arr, zeros=arr,
+                               perm=perm)
+
+
+def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
+    if lw.shard == "col":
+        w = P(None, tp_axis)
+        bias = P(tp_axis)
+    elif lw.shard == "row":
+        w = P(tp_axis, None)
+        bias = P()   # row bias is applied once after the psum
+    else:
+        w = P()
+        bias = P()
+    return dataclasses.replace(
+        lw,
+        w=None if lw.w is None else w,
+        qw=None if lw.qw is None else _quant_pspecs(lw.qw, lw.shard,
+                                                    tp_axis),
+        bias=None if lw.bias is None else bias,
+    )
+
+
+# dict-key based rules for plain arrays (vocab-parallel tables).
+_NAME_RULES = {
+    "embed": P(TP_AXIS, None),       # [V_local, E] stacked over ranks
+    "lm_head": P(None, TP_AXIS),     # [E, V_local]
+}
+
+
+def param_pspecs(params: Any, tp_axis: str = TP_AXIS) -> Any:
+    """Derive a PartitionSpec pytree with the exact treedef of ``params``.
+
+    Works for any model whose params are nests of dict/list/tuple with
+    LinearWeights / QuantizedWeight / array / None leaves.
+    """
+    def walk(node, name: str):
+        if node is None:
+            return None
+        if isinstance(node, LinearWeights):
+            return _linear_pspecs(node, tp_axis)
+        if isinstance(node, QuantizedWeight):
+            # bare quantized tensor (e.g. MoE expert stack): caller
+            # should wrap in LinearWeights; default to replicated.
+            return _quant_pspecs(node, "col", tp_axis)
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(walk(v, name) for v in node)
+        rule = _NAME_RULES.get(name)
+        if rule is not None:
+            return P(*[a if a is None else tp_axis for a in rule])
+        return P()
+
+    return walk(params, "")
+
+
+def kv_cache_pspec(tp_axis: str = TP_AXIS,
+                   dp_axis: Optional[str] = None) -> P:
+    """Paged KV caches are [NB, H, S, D]: KV heads shard over tp
+    (config.py:259-267 analogue); with dp, each replica owns its own
+    block pool so NB shards over dp."""
+    return P(dp_axis, tp_axis, None, None)
+
+
+# ---------------------------------------------------------------------------
+# Global param assembly (rank shards -> mesh-sharded global arrays)
+# ---------------------------------------------------------------------------
+
+def _tp_dim(spec: P, tp_axis: str) -> Optional[int]:
+    for i, ax in enumerate(spec):
+        if ax == tp_axis or (isinstance(ax, tuple) and tp_axis in ax):
+            return i
+    return None
+
+
+def assemble_global_params(
+    rank_params: Sequence[Any],
+    specs: Any,
+    mesh: Optional[Mesh] = None,
+    tp_axis: str = TP_AXIS,
+) -> Any:
+    """Concatenate per-rank param pytrees (as loaded by
+    ``model.load_params(weights, tp_rank=r)``) into global arrays along
+    each leaf's tp-sharded axis, optionally placing them on ``mesh``.
+
+    The resulting global layout is rank-major, i.e. sharding it back
+    over the tp mesh axis hands every device exactly its original
+    shard — the moral equivalent of the reference loading shards
+    directly into per-GPU memory (weight_utils.py:203-261).
+    """
+    def combine(spec, *leaves):
+        dim = _tp_dim(spec, tp_axis) if isinstance(spec, P) else None
+        if dim is None or len(leaves) == 1:
+            out = jnp.asarray(leaves[0])
+        else:
+            out = jnp.concatenate([jnp.asarray(l) for l in leaves],
+                                  axis=dim)
+        if mesh is not None:
+            out = jax.device_put(out, NamedSharding(mesh, spec))
+        return out
+
+    return jax.tree_util.tree_map(combine, specs, *rank_params)
+
+
+def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, specs)
+
+
+# ---------------------------------------------------------------------------
+# Sharded step construction
+# ---------------------------------------------------------------------------
+
+def make_sharded_step(
+    raw_step: Callable,
+    mesh: Mesh,
+    param_specs: Any,
+    tp_axis: str = TP_AXIS,
+    dp_axis: Optional[str] = None,
+    donate_caches: bool = True,
+) -> Callable:
+    """Wrap ``raw_step(params, ids, pos, kv_caches, meta, prompt_lens)``
+    in shard_map over ``mesh`` and jit it.
+
+    TP: params sharded per ``param_specs``; KV heads sharded; batch
+    inputs replicated; logits replicated on exit (the model all-gathers
+    vocab shards, vocab_embedding.py:47).
+    DP (optional): batch inputs and the KV block pool additionally split
+    over ``dp_axis`` — each replica runs an independent continuous batch.
+    """
+    batch = P(dp_axis) if dp_axis else P()
+    cache = kv_cache_pspec(tp_axis, dp_axis)
+    in_specs = (param_specs, batch, batch, cache, batch, batch)
+    out_specs = (batch, cache)
+    step = jax.shard_map(raw_step, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    donate = (3,) if donate_caches else ()
+    return jax.jit(step, donate_argnums=donate)

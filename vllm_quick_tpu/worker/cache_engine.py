@@ -31,13 +31,20 @@ class CacheEngine:
         cache_config: CacheConfig,
         model_config: ModelConfig,
         parallel_config: ParallelConfig,
+        mesh=None,
     ) -> None:
         self.cache_config = cache_config
         self.model_config = model_config
+        self.mesh = mesh
 
         self.head_size = model_config.get_head_size()
         self.num_layers = model_config.get_num_layers(parallel_config)
-        self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)
+        # Per-chip KV heads (config.py:259-267 analogue); the allocated
+        # global array carries all tp shards on its head axis.
+        local_kv_heads = model_config.get_num_kv_heads(parallel_config)
+        self.tp_size = parallel_config.tensor_parallel_size
+        self.num_kv_heads = local_kv_heads * self.tp_size \
+            if self.tp_size > 1 else local_kv_heads
 
         self.block_size = cache_config.block_size
         # +1: physical block 0 is the null/pad block (ops/cache_ops.py).
@@ -60,7 +67,13 @@ class CacheEngine:
     def _allocate(self, num_blocks: int, device: bool) -> List[KVCache]:
         shape = self._shape(num_blocks)
         caches: List[KVCache] = []
-        if device:
+        if device and self.mesh is not None and self.tp_size > 1:
+            from jax.sharding import NamedSharding
+            from vllm_quick_tpu.parallel.sharding import kv_cache_pspec
+            sharding = NamedSharding(self.mesh, kv_cache_pspec())
+            make = lambda: jnp.zeros(shape, dtype=self.dtype,
+                                     device=sharding)
+        elif device:
             make = lambda: jnp.zeros(shape, dtype=self.dtype)
         else:
             cpu = jax.devices("cpu")[0] if _has_cpu_device() else None
@@ -110,16 +123,19 @@ class CacheEngine:
         parallel_config: ParallelConfig,
     ) -> int:
         """Bytes per (K+V) block across all layers (reference:
-        cache_engine.py:148-167)."""
-        head_size = model_config.get_head_size()
+        cache_engine.py:148-167), accounting for XLA's physical (8, 128)
+        tile padding of the trailing [block, head_dim] dims — a
+        head_dim < 128 or block_size < 8 occupies the full tile in HBM."""
+        head_size = max(model_config.get_head_size(), 128)
         num_heads = model_config.get_num_kv_heads(parallel_config)
         num_layers = model_config.get_num_layers(parallel_config)
+        padded_block = -(-block_size // 8) * 8
         if cache_dtype == "auto":
             cache_dtype = model_config.dtype
         dtype = STR_DTYPE_TO_JNP.get(cache_dtype, cache_dtype)
         itemsize = jnp.dtype(dtype).itemsize
         per_token = num_heads * head_size * itemsize
-        return 2 * num_layers * block_size * per_token
+        return 2 * num_layers * padded_block * per_token
 
 
 def _has_cpu_device() -> bool:

@@ -47,6 +47,7 @@ class ModelRunner:
         cache_config: CacheConfig,
         ctx: ParallelContext = ParallelContext(),
         lora_config=None,
+        mesh=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -54,6 +55,7 @@ class ModelRunner:
         self.cache_config = cache_config
         self.ctx = ctx
         self.lora_config = lora_config
+        self.mesh = mesh
 
         self.block_size = cache_config.block_size
         self.model = None
@@ -65,7 +67,8 @@ class ModelRunner:
     # -- setup ---------------------------------------------------------------
 
     def load_model(self) -> None:
-        self.model, self.params = get_model(self.model_config, self.ctx)
+        self.model, self.params = get_model(self.model_config, self.ctx,
+                                            mesh=self.mesh)
         self.sampler = Sampler(self.model_config.get_vocab_size())
         model = self.model
 
@@ -81,7 +84,13 @@ class ModelRunner:
             logits = model.compute_logits(params, hidden)
             return logits, new_caches
 
-        self._jit_step = jax.jit(_step, donate_argnums=(3,))
+        if self.ctx.tp_size > 1:
+            from vllm_quick_tpu.parallel.sharding import (
+                make_sharded_step, param_pspecs)
+            specs = param_pspecs(self.params)
+            self._jit_step = make_sharded_step(_step, self.mesh, specs)
+        else:
+            self._jit_step = jax.jit(_step, donate_argnums=(3,))
 
     # -- input preparation -----------------------------------------------
 
@@ -300,9 +309,10 @@ class ModelRunner:
 
     # -- profiling -----------------------------------------------------------
 
-    def profile_run(self, kv_caches) -> None:
+    def profile_run(self, kv_caches):
         """Max-batch dummy forward to warm the compile cache (reference:
-        model_runner.py:577-630)."""
+        model_runner.py:577-630). Returns the updated caches — the
+        inputs are donated and must not be reused by the caller."""
         max_tokens = self.scheduler_config.max_num_batched_tokens
         max_seqs = min(self.scheduler_config.max_num_seqs, 8)
         seq_len = max_tokens // max_seqs
@@ -315,4 +325,5 @@ class ModelRunner:
                 sampling_params=SamplingParams(temperature=0.0),
                 block_tables={i: [0] * (-(-seq_len // self.block_size))},
             ))
-        self.execute_model(metas, kv_caches)
+        _, kv_caches = self.execute_model(metas, kv_caches)
+        return kv_caches

@@ -41,6 +41,7 @@ class Worker:
         cache_config: CacheConfig,
         lora_config: Optional[LoRAConfig] = None,
         ctx: ParallelContext = ParallelContext(),
+        mesh=None,
     ) -> None:
         self.model_config = model_config
         self.parallel_config = parallel_config
@@ -49,10 +50,12 @@ class Worker:
         self.cache_config = cache_config
         self.lora_config = lora_config
         self.ctx = ctx
+        self.mesh = mesh
 
         self.model_runner = ModelRunner(model_config, parallel_config,
                                         scheduler_config, cache_config,
-                                        ctx=ctx, lora_config=lora_config)
+                                        ctx=ctx, lora_config=lora_config,
+                                        mesh=mesh)
         self.cache_engine: Optional[CacheEngine] = None
 
     def init_model(self) -> None:
@@ -99,7 +102,13 @@ class Worker:
         budget = int(limit * gpu_memory_utilization) - used - int(
             0.10 * limit)
         num_device_blocks = max(budget // cache_block_size, 0)
+        # No point allocating more blocks than the scheduler can ever
+        # map: max_num_seqs concurrent sequences at max_model_len.
+        max_mappable = self.scheduler_config.max_num_seqs * (
+            -(-self.model_config.max_model_len // block_size))
+        num_device_blocks = min(num_device_blocks, max_mappable)
         num_cpu_blocks = int(cpu_swap_space // cache_block_size)
+        num_cpu_blocks = min(num_cpu_blocks, max_mappable)
         logger.info(
             "Memory profile: used=%.2f GiB limit=%.2f GiB "
             "block=%d KiB -> %d device blocks, %d host blocks",
@@ -111,11 +120,13 @@ class Worker:
     def init_cache_engine(self, cache_config: CacheConfig) -> None:
         self.cache_config = cache_config
         self.cache_engine = CacheEngine(cache_config, self.model_config,
-                                        self.parallel_config)
+                                        self.parallel_config,
+                                        mesh=self.mesh)
 
     def warm_up_model(self) -> None:
         if not self.model_config.enforce_eager:
-            self.model_runner.profile_run(self.cache_engine.device_cache)
+            self.cache_engine.device_cache = self.model_runner.profile_run(
+                self.cache_engine.device_cache)
 
     # -- execution -----------------------------------------------------------
 
