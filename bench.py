@@ -1,0 +1,132 @@
+"""Headline benchmark: Llama-2-7B INT4 decode tokens/s per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 190 tok/s/chip (85% of the INT4 HBM roofline on v5e spec
+819 GB/s, BASELINE.md). On hosts where the chip is tunneled, effective
+HBM bandwidth is far below spec; the absolute number reflects the chip
+actually measured.
+
+Weights are checkpoint-shaped (7B: 32 layers, hidden 4096, inter 11008,
+32 heads) but materialized on-device (dummy values) so the benchmark
+measures the execution path, not checkpoint download.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir("/root/.axon_site"):
+    sys.path.insert(0, "/root/.axon_site")
+
+BASELINE_TOK_S = 190.0
+
+
+def build_7b_params(model):
+    import jax.numpy as jnp
+    from vllm_quick_tpu.ops.quant_formats import dummy_quantized_weight
+    from vllm_quick_tpu.model_executor.layers.linear import LinearWeights
+
+    e = model.hidden_size
+    inter = model.config.intermediate_size
+    q_sz = model.num_heads * model.head_dim
+    kv_sz = model.num_kv_heads * model.head_dim
+
+    def q(k, n, shard):
+        return LinearWeights(qw=dummy_quantized_weight(k, n), shard=shard)
+
+    layers = []
+    for _ in range(model.num_layers):
+        layers.append({
+            "input_norm": jnp.ones((e,), jnp.bfloat16),
+            "post_norm": jnp.ones((e,), jnp.bfloat16),
+            "qkv": q(e, q_sz + 2 * kv_sz, "col"),
+            "o": q(q_sz, e, "row"),
+            "gate_up": q(e, 2 * inter, "col"),
+            "down": q(inter, e, "row"),
+        })
+    embed = jnp.zeros((model.vocab_size, e), jnp.bfloat16)
+    return {"embed": embed, "layers": layers,
+            "final_norm": jnp.ones((e,), jnp.bfloat16),
+            "lm_head": jnp.zeros((e, model.vocab_size), jnp.bfloat16)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import LlamaConfig
+
+    from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+    from vllm_quick_tpu.model_executor.models.llama import LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, max_position_embeddings=4096,
+        rms_norm_eps=1e-6, tie_word_embeddings=False)
+
+    class _Q:
+        method = "awq"
+        group_size = 128
+        desc_act = False
+
+    model = LlamaForCausalLM(cfg, quant=_Q(), dtype="bfloat16")
+    params = build_7b_params(model)
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    ctx_len = int(os.environ.get("BENCH_CTX", "512"))
+    block_size = 16
+    blocks_per_seq = -(-ctx_len // block_size)
+    num_blocks = 1 + batch * blocks_per_seq
+
+    shape = model.kv_cache_shape(num_blocks, block_size)
+    caches = [(jnp.zeros(shape, jnp.bfloat16),
+               jnp.zeros(shape, jnp.bfloat16))
+              for _ in range(model.num_layers)]
+
+    bt = np.zeros((batch, blocks_per_seq), np.int32)
+    for i in range(batch):
+        bt[i] = 1 + i * blocks_per_seq + np.arange(blocks_per_seq)
+    pos = ctx_len - 1
+    slots = bt[:, pos // block_size] * block_size + pos % block_size
+    meta = InputMetadata(
+        is_prompt=False,
+        slot_mapping=jnp.asarray(slots.astype(np.int32)),
+        context_lens=jnp.full((batch,), ctx_len, jnp.int32),
+        block_tables=jnp.asarray(bt),
+    )
+    ids = jnp.zeros((batch,), jnp.int32)
+    positions = jnp.full((batch,), pos, jnp.int32)
+    plens = jnp.zeros((batch,), jnp.int32)
+
+    def _step(params, input_ids, positions, kv_caches, meta, prompt_lens):
+        hidden, new_caches = model.forward(params, input_ids, positions,
+                                           kv_caches, meta)
+        logits = model.compute_logits(params, hidden)
+        return logits, new_caches
+
+    step = jax.jit(_step, donate_argnums=(3,))
+
+    # Warm up / compile.
+    logits, caches = step(params, ids, positions, caches, meta, plens)
+    jax.block_until_ready(logits)
+
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits, caches = step(params, ids, positions, caches, meta, plens)
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+
+    tok_s = iters * batch / dt
+    print(json.dumps({
+        "metric": "llama2_7b_int4_decode_tok_s_per_chip",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

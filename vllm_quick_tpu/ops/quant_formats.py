@@ -267,6 +267,30 @@ def build_quantized_weight(q: np.ndarray, zeros: np.ndarray,
     )
 
 
+def dummy_quantized_weight(k: int, n: int, group_size: int = 128,
+                           fmt: str = "i8pair") -> "QuantizedWeight":
+    """Checkpoint-shaped QuantizedWeight materialized *on device*
+    (no host->device weight transfer) — for benchmarks and memory
+    profiling of large models. Same padded dims as
+    build_quantized_weight."""
+    kp = _round_up(k, SUPERBLOCK)
+    if kp // SUPERBLOCK >= 4:
+        kp = _round_up(kp, 4 * SUPERBLOCK)
+    np_ = _round_up(n, 128)
+    if fmt == "i8pair":
+        packed = jnp.zeros((kp // 2, np_), dtype=jnp.int8)
+    elif fmt == "u4":
+        packed = jnp.zeros((kp, np_), dtype=jnp.uint4)
+    else:
+        raise ValueError(fmt)
+    return QuantizedWeight(
+        packed=packed,
+        scales=jnp.ones((kp // EFF_GROUP, np_), dtype=jnp.bfloat16),
+        zeros=jnp.full((kp // EFF_GROUP, np_), 8.0, dtype=jnp.bfloat16),
+        group_size=group_size, fmt=fmt,
+        in_features=k, out_features=n, padded_in=kp, padded_out=np_)
+
+
 # ---------------------------------------------------------------------------
 # jnp reference math (runs anywhere; ground truth for kernel tests and the
 # big-batch dequant-then-GEMM path, mirroring awq.py:155-162)
