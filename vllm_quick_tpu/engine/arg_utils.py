@@ -58,10 +58,10 @@ class EngineArgs:
         if self.tokenizer is None:
             self.tokenizer = self.model
 
-    @staticmethod
-    def add_cli_args(parser: argparse.ArgumentParser
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
-        for f in dataclasses.fields(EngineArgs):
+        for f in dataclasses.fields(cls):
             name = "--" + f.name.replace("_", "-")
             if f.type == bool or f.default is False:
                 parser.add_argument(name, action="store_true",

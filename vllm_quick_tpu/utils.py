@@ -101,3 +101,39 @@ STR_DTYPE_TO_JNP = {
     "fp8_e5m2": "float8_e5m2",
     "int8": "int8",
 }
+
+
+async def merge_async_iterators(*iterators):
+    """Merge several async iterators into one, yielding
+    (origin_index, item) in arrival order (the reference's n-way stream
+    merge, serving_completion.py:220-250)."""
+    import asyncio
+
+    queue: "asyncio.Queue" = asyncio.Queue()
+    _DONE = object()
+
+    async def producer(i, iterator):
+        try:
+            async for item in iterator:
+                await queue.put((i, item))
+        except Exception as e:
+            await queue.put(e)
+        await queue.put(_DONE)
+
+    tasks = [asyncio.get_event_loop().create_task(producer(i, it))
+             for i, it in enumerate(iterators)]
+
+    remaining = len(iterators)
+    try:
+        while remaining:
+            item = await queue.get()
+            if item is _DONE:
+                remaining -= 1
+                continue
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        for task in tasks:
+            if not task.done():
+                task.cancel()
