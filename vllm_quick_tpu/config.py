@@ -62,8 +62,8 @@ class ModelConfig:
         if hf_config is not None:
             self.hf_config = hf_config
         else:
-            self.hf_config = AutoConfig.from_pretrained(
-                model, trust_remote_code=trust_remote_code, revision=revision)
+            from vllm_quick_tpu.transformers_utils.config import get_config
+            self.hf_config = get_config(model, trust_remote_code, revision)
 
         self.dtype = _get_and_verify_dtype(self.hf_config, dtype)
         self.max_model_len = _get_and_verify_max_len(self.hf_config,

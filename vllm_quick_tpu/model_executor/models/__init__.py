@@ -24,6 +24,7 @@ _MODEL_REGISTRY = {
     "StableLmForCausalLM": ("stablelm", "StableLmForCausalLM"),
     "GPTBigCodeForCausalLM": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
     "MPTForCausalLM": ("mpt", "MPTForCausalLM"),
+    "MptForCausalLM": ("mpt", "MPTForCausalLM"),
     "InternLM2ForCausalLM": ("internlm2", "InternLM2ForCausalLM"),
     "AquilaForCausalLM": ("llama", "LlamaForCausalLM"),
     "AquilaModel": ("llama", "LlamaForCausalLM"),

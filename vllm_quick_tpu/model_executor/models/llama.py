@@ -154,20 +154,29 @@ class LlamaForCausalLM:
                          f"{pfx}.self_attn.v_proj",
                          total_heads, total_kv, self.head_dim, bias=True)
             o, _ = pb.linear([f"{pfx}.self_attn.o_proj"], shard="row")
-            gate_up, _ = pb.linear([f"{pfx}.mlp.gate_proj",
-                                    f"{pfx}.mlp.up_proj"], shard="col")
-            down, _ = pb.linear([f"{pfx}.mlp.down_proj"], shard="row")
-            layers.append({
+            layer = {
                 "input_norm": pb.array(f"{pfx}.input_layernorm.weight"),
                 "post_norm": pb.array(
                     f"{pfx}.post_attention_layernorm.weight"),
                 "qkv": qkv,
                 "o": o,
-                "gate_up": gate_up,
-                "down": down,
-            })
+            }
+            self._build_mlp_params(pb, pfx, layer)
+            layers.append(layer)
         params["layers"] = layers
         params["final_norm"] = pb.array("model.norm.weight")
+        return self._finish_params(pb, params)
+
+    def _build_mlp_params(self, pb: ParamBuilder, pfx: str,
+                          layer: Dict[str, Any]) -> None:
+        gate_up, _ = pb.linear([f"{pfx}.mlp.gate_proj",
+                                f"{pfx}.mlp.up_proj"], shard="col")
+        down, _ = pb.linear([f"{pfx}.mlp.down_proj"], shard="row")
+        layer["gate_up"] = gate_up
+        layer["down"] = down
+
+    def _finish_params(self, pb: ParamBuilder,
+                       params: Dict[str, Any]) -> Dict[str, Any]:
         if self.tie_embeddings or not pb.has("lm_head.weight"):
             params["lm_head"] = params["embed"].T
         else:

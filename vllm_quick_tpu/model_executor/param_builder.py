@@ -251,6 +251,51 @@ class ParamBuilder:
             qw.perm = jnp.asarray(perm)
         return LinearWeights(qw=qw, shard=shard)
 
+    def linear_from_arrays(
+        self,
+        parts: Sequence[np.ndarray],          # each [K, N_part] (x @ W)
+        shard: str = "col",
+        part_units: Optional[List[int]] = None,
+        bias_parts: Optional[Sequence[Optional[np.ndarray]]] = None,
+    ) -> Tuple[LinearWeights, Optional[jnp.ndarray]]:
+        """Build a (fused) linear from raw [K, N] arrays — for HF layouts
+        the name-based loader can't express (Conv1D tensors, interleaved
+        fused QKV such as GPT-NeoX/Falcon/Bloom)."""
+        if part_units is None:
+            part_units = [None] * len(parts)
+        ws, bs = [], []
+        for idx, (w, units) in enumerate(zip(parts, part_units)):
+            bv = bias_parts[idx] if bias_parts is not None else None
+            if shard == "col" and self.tp_size > 1:
+                n = w.shape[1]
+                if units is None:
+                    assert n % self.tp_size == 0, (n, self.tp_size)
+                    st, c = self.tp_rank * (n // self.tp_size), \
+                        n // self.tp_size
+                else:
+                    u0, uc = self._unit_range(units)
+                    dim = n // units
+                    st, c = u0 * dim, uc * dim
+                w = w[:, st:st + c]
+                if bv is not None:
+                    bv = bv[st:st + c]
+            elif shard == "row":
+                w = self._col_slice(w, axis=0)
+            ws.append(w)
+            bs.append(bv)
+        w = np.concatenate(ws, axis=1) if len(ws) > 1 else ws[0]
+        lw = LinearWeights(w=jnp.asarray(np.ascontiguousarray(w),
+                                         dtype=self.dtype), shard=shard)
+        b = None
+        if bias_parts is not None and any(x is not None for x in bs):
+            b = jnp.asarray(np.concatenate(
+                [x for x in bs if x is not None])
+                if len(bs) > 1 else bs[0], dtype=self.dtype)
+            if shard != "row":
+                lw.bias = b
+                b = None
+        return lw, b
+
     def quantize_dense(self, prefixes: Sequence[str], shard: str = "col",
                        group_size: int = 128) -> LinearWeights:
         """Quantize-on-the-fly for unquantized checkpoints (testing and

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vllm_quick_tpu.model_executor.layers.linear import LinearWeights
 from vllm_quick_tpu.ops.quant_formats import QuantizedWeight
-from vllm_quick_tpu.parallel.mesh import TP_AXIS
+from vllm_quick_tpu.parallel.mesh import EP_AXIS, TP_AXIS
 
 
 # ---------------------------------------------------------------------------
@@ -71,10 +71,14 @@ def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
     )
 
 
-# dict-key based rules for plain arrays (vocab-parallel tables).
+# dict-key based rules for plain arrays (vocab-parallel tables, expert
+# stacks). Axis names are the global mesh axes (parallel/mesh.py).
 _NAME_RULES = {
     "embed": P(TP_AXIS, None),       # [V_local, E] stacked over ranks
     "lm_head": P(None, TP_AXIS),     # [E, V_local]
+    "alibi_slopes": P(TP_AXIS),      # per-head slopes
+    "moe_w13": P(EP_AXIS, None, TP_AXIS),   # [E, D, 2F]
+    "moe_w2": P(EP_AXIS, TP_AXIS, None),    # [E, F, D]
 }
 
 
@@ -100,7 +104,7 @@ def param_pspecs(params: Any, tp_axis: str = TP_AXIS) -> Any:
             return t(walk(v, name) for v in node)
         rule = _NAME_RULES.get(name)
         if rule is not None:
-            return P(*[a if a is None else tp_axis for a in rule])
+            return P(*[tp_axis if a == TP_AXIS else a for a in rule])
         return P()
 
     return walk(params, "")

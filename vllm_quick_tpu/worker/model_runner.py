@@ -84,7 +84,8 @@ class ModelRunner:
             logits = model.compute_logits(params, hidden)
             return logits, new_caches
 
-        if self.ctx.tp_size > 1:
+        world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
+        if world > 1:
             from vllm_quick_tpu.parallel.sharding import (
                 make_sharded_step, param_pspecs)
             specs = param_pspecs(self.params)
