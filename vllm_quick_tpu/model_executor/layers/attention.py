@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
 from vllm_quick_tpu.ops.attention import (paged_decode_attention_ref,
-                                          prefill_attention)
+                                          prefill_attention,
+                                          prefix_prefill_attention)
 from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
 from vllm_quick_tpu.ops.paged_attention import (paged_decode_attention,
                                                 use_pallas_attention)
@@ -62,12 +63,22 @@ class Attention:
             meta.slot_mapping.reshape(-1))
 
         if meta.is_prompt:
-            out = prefill_attention(
-                q, k, v, meta.prompt_lens, self.scale,
-                alibi_slopes=self.alibi_slopes,
-                sliding_window=self.sliding_window)
+            if meta.block_tables is not None:
+                # Prefix-cached prompt: attend over cached context too
+                # (reference: attention.py:207-223 Triton path).
+                out = prefix_prefill_attention(
+                    q, k, v, k_cache, v_cache, meta.block_tables,
+                    meta.context_lens, meta.prompt_lens, self.scale,
+                    alibi_slopes=self.alibi_slopes,
+                    sliding_window=self.sliding_window)
+            else:
+                out = prefill_attention(
+                    q, k, v, meta.prompt_lens, self.scale,
+                    alibi_slopes=self.alibi_slopes,
+                    sliding_window=self.sliding_window)
         else:
-            if use_pallas_attention(self.head_size, k_cache.shape[2]):
+            if use_pallas_attention(self.head_size, k_cache.shape[2],
+                                    k_cache.dtype):
                 out = paged_decode_attention(
                     q, k_cache, v_cache, meta.block_tables,
                     meta.context_lens, self.scale,

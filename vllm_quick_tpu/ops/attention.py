@@ -119,3 +119,63 @@ def paged_decode_attention_ref(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgt,bhtd->bhgd", probs, v.astype(jnp.float32))
     return out.reshape(b, hq, d).astype(q.dtype)
+
+
+def prefix_prefill_attention(
+    q: jax.Array,               # [B, L, num_heads, D] (new tokens only)
+    k: jax.Array,               # [B, L, num_kv_heads, D]
+    v: jax.Array,               # [B, L, num_kv_heads, D]
+    k_cache: jax.Array,         # [num_blocks, Hkv, S, D]
+    v_cache: jax.Array,         # [num_blocks, Hkv, S, D]
+    block_tables: jax.Array,    # [B, max_blocks] int32 (prefix blocks)
+    prefix_lens: jax.Array,     # [B] int32 cached-context lengths
+    prompt_lens: jax.Array,     # [B] int32 NEW token counts (pad -> 0)
+    scale: float,
+    alibi_slopes: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Attention of new prompt tokens over [cached prefix + new tokens]
+    (the reference's Triton context_attention_fwd,
+    triton_kernel/prefix_prefill.py:609)."""
+    b, l, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    s = k_cache.shape[2]
+    mb = block_tables.shape[1]
+    p_max = mb * s
+
+    # Gather cached prefix K/V: [B, MB*S, Hkv, D].
+    kc = k_cache[block_tables].astype(jnp.float32)
+    vc = v_cache[block_tables].astype(jnp.float32)
+    kc = kc.transpose(0, 1, 3, 2, 4).reshape(b, p_max, hkv, d)
+    vc = vc.transpose(0, 1, 3, 2, 4).reshape(b, p_max, hkv, d)
+
+    k_full = jnp.concatenate([kc, k.astype(jnp.float32)], axis=1)
+    v_full = jnp.concatenate([vc, v.astype(jnp.float32)], axis=1)
+
+    qf = q.astype(jnp.float32).reshape(b, l, hkv, g, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qf, k_full) * scale
+
+    new_idx = jnp.arange(l)
+    qpos = prefix_lens[:, None] + new_idx[None, :]             # [B, L]
+    kpos = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(p_max)[None, :], (b, p_max)),
+         qpos], axis=1)                                        # [B, P+L]
+    key_valid = jnp.concatenate(
+        [jnp.arange(p_max)[None, :] < prefix_lens[:, None],
+         new_idx[None, :] < prompt_lens[:, None]], axis=1)     # [B, P+L]
+    mask = jnp.logical_and(kpos[:, None, :] <= qpos[:, :, None],
+                           key_valid[:, None, :])              # [B, L, P+L]
+    if sliding_window is not None:
+        mask = jnp.logical_and(
+            mask, qpos[:, :, None] - kpos[:, None, :] < sliding_window)
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(hkv, g)
+        bias = slopes[None, :, :, None, None] * (
+            kpos[:, None, None, None, :]
+            - qpos[:, None, None, :, None]).astype(jnp.float32)
+        logits = logits + bias
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_full)
+    return out.reshape(b, l, hq, d).astype(q.dtype)

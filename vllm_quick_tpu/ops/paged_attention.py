@@ -25,13 +25,16 @@ from vllm_quick_tpu.ops.attention import NEG_INF
 
 
 def use_pallas_attention(head_size: int = 128,
-                         block_size: int = 16) -> bool:
+                         block_size: int = 16,
+                         kv_dtype=jnp.bfloat16) -> bool:
     """Compiled Pallas path requires lane-aligned head_dim (the cache's
     last dim is tiled (·,128) in HBM; a narrower head cannot be
-    memref-sliced) and sublane-aligned block_size."""
+    memref-sliced) and sublane-aligned block_size (8 for 16/32-bit KV,
+    32 for fp8/int8 KV per the (32, 128) tile rule)."""
     if os.environ.get("VLLM_TPU_DISABLE_PALLAS_ATTN"):
         return False
-    if head_size % 128 != 0 or block_size % 8 != 0:
+    min_sublane = 32 if jnp.dtype(kv_dtype).itemsize == 1 else 8
+    if head_size % 128 != 0 or block_size % min_sublane != 0:
         return False
     try:
         return jax.default_backend() not in ("cpu", "gpu")

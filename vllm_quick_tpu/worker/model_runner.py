@@ -106,6 +106,8 @@ class ModelRunner:
         pos_list: List[List[int]] = []
         slot_list: List[List[int]] = []
         lens: List[int] = []
+        prefix_lens: List[int] = []
+        prefix_tables: List[List[int]] = []
         for m in metas:
             seq_id = next(iter(m.seq_data))
             data = m.seq_data[seq_id]
@@ -115,6 +117,10 @@ class ModelRunner:
             start = 0
             if m.prefix is not None and m.prefix.computed:
                 start = m.prefix.get_length()
+                prefix_tables.append(m.prefix.get_block_numbers())
+            else:
+                prefix_tables.append([])
+            prefix_lens.append(start)
             ids_list.append(tokens[start:])
             pos_list.append(list(range(start, len(tokens))))
             slot_list.append(
@@ -133,13 +139,26 @@ class ModelRunner:
             slots = np.pad(slots, ((0, pad_rows), (0, 0)))
         prompt_lens = np.asarray(lens + [0] * pad_rows, dtype=np.int32)
 
-        # Prefix-cached prompts need block tables + context for attention
-        # over the cached part (not yet wired into prefill attention; the
-        # scheduler only marks prefixes computed after this lands).
+        # Prefix-cached prompts attend over the cached context via the
+        # prefix block tables (attention.py prefix path).
+        block_tables = None
+        context_lens = None
+        if any(prefix_lens):
+            mb = pad_to_bucket(max(len(t) for t in prefix_tables),
+                               _BLOCK_TABLE_BUCKETS)
+            bt_arr = make_ndarray_with_pad(prefix_tables, 0, np.int32, mb)
+            if pad_rows:
+                bt_arr = np.pad(bt_arr, ((0, pad_rows), (0, 0)))
+            block_tables = jnp.asarray(bt_arr)
+            context_lens = jnp.asarray(
+                np.asarray(prefix_lens + [0] * pad_rows, np.int32))
+
         meta = InputMetadata(
             is_prompt=True,
             slot_mapping=jnp.asarray(slots),
             prompt_lens=jnp.asarray(prompt_lens),
+            context_lens=context_lens,
+            block_tables=block_tables,
         )
         return jnp.asarray(ids), jnp.asarray(pos), meta, prompt_lens
 
