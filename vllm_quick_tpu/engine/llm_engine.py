@@ -181,6 +181,19 @@ class LLMEngine:
     def get_model_config(self) -> ModelConfig:
         return self.model_config
 
+    # -- multi-LoRA management (reference: llm_engine.py:956-971) ----------
+
+    def add_lora(self, lora_request) -> bool:
+        assert lora_request.lora_int_id > 0, "lora_int_id must be > 0"
+        return self.worker.model_runner.lora_manager.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        assert lora_id > 0, "lora_id must be > 0"
+        return self.worker.model_runner.lora_manager.remove_lora(lora_id)
+
+    def list_loras(self) -> List[int]:
+        return self.worker.model_runner.lora_manager.list_loras()
+
     def get_num_unfinished_requests(self) -> int:
         return self.scheduler.get_num_unfinished_seq_groups()
 

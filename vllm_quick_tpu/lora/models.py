@@ -1,0 +1,189 @@
+"""LoRA adapter loading + slot-based device manager.
+
+Reference parity: vllm/lora/models.py (LoRAModel.from_local_checkpoint
+:191, slot-based LoRAModelManager :242-535, LRU variant :550) and
+vllm/lora/layers.py packed-module merging. TPU-native deltas: adapters
+live as stacked slot tensors *inside the model's param pytree*
+(LinearWeights.lora_a/lora_b), written with functional `.at[slot].set`
+updates; fused modules (qkv, gate_up) pack per-projection adapters
+block-diagonally so one BGMV covers the fusion.
+"""
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_quick_tpu.logger import init_logger
+from vllm_quick_tpu.lora.request import LoRARequest
+
+logger = init_logger(__name__)
+
+
+class LoRAModel:
+    """One adapter's de-serialized weights, keyed by HF module name
+    (e.g. 'self_attn.q_proj') per layer index."""
+
+    def __init__(self, lora_id: int, rank: int, scaling: float,
+                 tensors: Dict[Tuple[int, str],
+                               Dict[str, np.ndarray]]) -> None:
+        self.id = lora_id
+        self.rank = rank
+        self.scaling = scaling
+        self.tensors = tensors   # (layer_idx, hf_module) -> {a, b}
+
+    @classmethod
+    def from_local_checkpoint(cls, path: str, lora_id: int) -> "LoRAModel":
+        """Load a PEFT-format adapter directory (reference:
+        models.py:191)."""
+        cfg_path = os.path.join(path, "adapter_config.json")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        rank = cfg["r"]
+        scaling = cfg.get("lora_alpha", rank) / rank
+
+        st = os.path.join(path, "adapter_model.safetensors")
+        bin_ = os.path.join(path, "adapter_model.bin")
+        raw: Dict[str, np.ndarray] = {}
+        if os.path.exists(st):
+            from safetensors.numpy import load_file
+            raw = load_file(st)
+        elif os.path.exists(bin_):
+            import torch
+            raw = {k: v.float().numpy()
+                   for k, v in torch.load(bin_, map_location="cpu").items()}
+        else:
+            raise ValueError(f"No adapter weights found in {path}")
+
+        tensors: Dict[Tuple[int, str], Dict[str, np.ndarray]] = {}
+        for name, w in raw.items():
+            # base_model.model.model.layers.{i}.{module}.lora_{A,B}.weight
+            if ".layers." not in name:
+                logger.warning("Skipping non-layer LoRA tensor %s", name)
+                continue
+            tail = name.split(".layers.", 1)[1]
+            parts = tail.split(".")
+            layer_idx = int(parts[0])
+            which = "a" if ".lora_A." in name else "b"
+            module = ".".join(parts[1:]).split(".lora_")[0]
+            ent = tensors.setdefault((layer_idx, module), {})
+            # HF stores lora_A [r, K], lora_B [N, r]; we want
+            # a [K, r], b [r, N].
+            ent[which] = np.ascontiguousarray(
+                w.astype(np.float32).T)
+        return cls(lora_id, rank, scaling, tensors)
+
+
+class LoRAModelManager:
+    """Owns the stacked slot tensors inside the param pytree
+    (reference: models.py:242-535 + LRU :550)."""
+
+    def __init__(self, params: Dict[str, Any], model, lora_config,
+                 dtype=jnp.bfloat16) -> None:
+        self.model = model
+        self.capacity = lora_config.max_loras
+        self.max_rank = lora_config.max_lora_rank
+        self.dtype = dtype
+        # target map: param_key -> list of (hf_module, out_start, out_sz)
+        self.target_map = model.lora_target_map()
+        self.layers = params["layers"]
+        self._init_stacks()
+        # slot bookkeeping: slot -> lora_int_id (0 = free)
+        self.slot_ids: List[int] = [0] * self.capacity
+        self.slot_clock: List[int] = [0] * self.capacity
+        self._clock = 0
+
+    def _init_stacks(self) -> None:
+        for layer in self.layers:
+            for key, targets in self.target_map.items():
+                lw = layer[key]
+                k = lw.in_features
+                n = lw.out_features
+                r_total = len(targets) * self.max_rank
+                lw.lora_a = jnp.zeros((self.capacity, k, r_total),
+                                      dtype=self.dtype)
+                lw.lora_b = jnp.zeros((self.capacity, r_total, n),
+                                      dtype=self.dtype)
+
+    # -- slot management -----------------------------------------------------
+
+    def _take_slot(self, lora_id: int) -> int:
+        if 0 in self.slot_ids:
+            slot = self.slot_ids.index(0)
+        else:
+            # LRU eviction among inactive slots.
+            slot = int(np.argmin(self.slot_clock))
+            logger.info("Evicting LoRA %d from slot %d",
+                        self.slot_ids[slot], slot)
+        self.slot_ids[slot] = lora_id
+        return slot
+
+    def ensure_loaded(self, lora_models: List[LoRAModel]
+                      ) -> Dict[int, int]:
+        """Activate the given adapters; returns lora_id -> slot."""
+        assert len(lora_models) <= self.capacity, (
+            f"batch needs {len(lora_models)} LoRA slots, "
+            f"max_loras={self.capacity}")
+        mapping: Dict[int, int] = {}
+        self._clock += 1
+        for lm in lora_models:
+            if lm.id in self.slot_ids:
+                slot = self.slot_ids.index(lm.id)
+            else:
+                slot = self._take_slot(lm.id)
+                self._write_slot(slot, lm)
+            self.slot_clock[slot] = self._clock
+            mapping[lm.id] = slot
+        return mapping
+
+    def remove(self, lora_id: int) -> bool:
+        if lora_id not in self.slot_ids:
+            return False
+        slot = self.slot_ids.index(lora_id)
+        self.slot_ids[slot] = 0
+        self.slot_clock[slot] = 0
+        # Zero the slot so a stale adapter can never leak in.
+        for layer in self.layers:
+            for key in self.target_map:
+                lw = layer[key]
+                lw.lora_a = lw.lora_a.at[slot].set(0)
+                lw.lora_b = lw.lora_b.at[slot].set(0)
+        return True
+
+    def list_ids(self) -> List[int]:
+        return [i for i in self.slot_ids if i > 0]
+
+    # -- weight writes ---------------------------------------------------------
+
+    def _write_slot(self, slot: int, lm: LoRAModel) -> None:
+        assert lm.rank <= self.max_rank, (
+            f"adapter rank {lm.rank} > max_lora_rank {self.max_rank}")
+        for li, layer in enumerate(self.layers):
+            for key, targets in self.target_map.items():
+                lw = layer[key]
+                k = lw.in_features
+                n = lw.out_features
+                r_total = len(targets) * self.max_rank
+                a = np.zeros((k, r_total), np.float32)
+                b = np.zeros((r_total, n), np.float32)
+                found = False
+                for p, (hf_module, out_start, out_sz) in \
+                        enumerate(targets):
+                    t = lm.tensors.get((li, hf_module))
+                    if t is None or "a" not in t or "b" not in t:
+                        continue
+                    found = True
+                    r = t["a"].shape[1]
+                    r0 = p * self.max_rank
+                    a[:, r0:r0 + r] = t["a"]
+                    b[r0:r0 + r, out_start:out_start + out_sz] = \
+                        t["b"] * lm.scaling
+                if found:
+                    lw.lora_a = lw.lora_a.at[slot].set(
+                        jnp.asarray(a, dtype=self.dtype))
+                    lw.lora_b = lw.lora_b.at[slot].set(
+                        jnp.asarray(b, dtype=self.dtype))
+                else:
+                    lw.lora_a = lw.lora_a.at[slot].set(0)
+                    lw.lora_b = lw.lora_b.at[slot].set(0)

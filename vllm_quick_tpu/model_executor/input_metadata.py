@@ -25,3 +25,6 @@ class InputMetadata:
     # Decode (and prefix-cached prefill): [B, max_blocks] physical block
     # numbers, padded with the null block.
     block_tables: Optional[jax.Array] = None
+    # Multi-LoRA: per-token adapter slot (prefill [B, L], decode [B]);
+    # -1 selects no adapter. None when LoRA is disabled.
+    lora_indices: Optional[jax.Array] = None

@@ -27,6 +27,12 @@ class LinearWeights:
     w: Optional[jax.Array] = None           # dense [K, N]
     qw: Optional[QuantizedWeight] = None    # packed INT4
     bias: Optional[jax.Array] = None        # [N]
+    # Multi-LoRA slot stacks (lora/models.py writes slot slices):
+    # col-parallel: A replicated [L, K, R], B sharded [L, R, N_local];
+    # row-parallel: A sharded [L, K_local, R], B replicated — the
+    # partial LoRA sum rides the layer's existing output psum.
+    lora_a: Optional[jax.Array] = None
+    lora_b: Optional[jax.Array] = None
     # TP sharding of this layer: 'col' (N split, like ColumnParallelLinear),
     # 'row' (K split + psum after, like RowParallelLinear) or 'none'.
     # Drives mechanical PartitionSpec derivation (parallel/sharding.py).
@@ -46,8 +52,10 @@ class LinearWeights:
         return self.w.shape[0]
 
 
-def apply_linear(lw: LinearWeights, x: jax.Array) -> jax.Array:
-    """y = x @ W (+ bias). Dispatches dense vs fused INT4 kernel."""
+def apply_linear(lw: LinearWeights, x: jax.Array,
+                 lora_indices: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ W (+ bias) (+ per-token LoRA). Dispatches dense vs fused
+    INT4 kernel; LoRA via the BGMV analogue (ops/bgmv.py)."""
     if lw.qw is not None:
         y = quant_matmul(x, lw.qw, out_dtype=x.dtype)
     else:
@@ -55,4 +63,7 @@ def apply_linear(lw: LinearWeights, x: jax.Array) -> jax.Array:
             x.dtype)
     if lw.bias is not None:
         y = y + lw.bias
+    if lw.lora_a is not None and lora_indices is not None:
+        from vllm_quick_tpu.ops.bgmv import apply_lora
+        y = apply_lora(y, x, lw.lora_a, lw.lora_b, lora_indices)
     return y

@@ -142,17 +142,18 @@ class GenericDecoder:
         return h, new_caches
 
     def _layer(self, layer, h, positions, kv_cache, meta):
+        li = meta.lora_indices
         x = self._norm(h, layer["ln1"])
         a, kv_cache = self._attention(layer, x, positions, kv_cache, meta)
         if self.parallel_residual:
             x2 = x if self.shared_parallel_norm else self._norm(
                 h, layer["ln2"])
-            m = self._mlp(layer, x2)
+            m = self._mlp(layer, x2, li)
             h = self._add3(h, a, m)
         else:
             h = self._add2(h, a)
             x = self._norm(h, layer["ln2"])
-            m = self._mlp(layer, x)
+            m = self._mlp(layer, x, li)
             h = self._add2(h, m)
         return h, kv_cache
 
@@ -174,7 +175,8 @@ class GenericDecoder:
         return layer_norm(x, w, b, self.norm_eps)
 
     def _attention(self, layer, x, positions, kv_cache, meta):
-        qkv = apply_linear(layer["qkv"], x)
+        li = meta.lora_indices
+        qkv = apply_linear(layer["qkv"], x, li)
         if self.clip_qkv is not None:
             qkv = jnp.clip(qkv, -self.clip_qkv, self.clip_qkv)
         q_sz = self.num_heads * self.head_dim
@@ -190,14 +192,14 @@ class GenericDecoder:
             q = qh.reshape(*lead, -1)
             k = kh.reshape(*lead, -1)
         out, kv_cache = self.attn(q, k, v, kv_cache, meta)
-        out = apply_linear(layer["o"], out)
+        out = apply_linear(layer["o"], out, li)
         out = self.ctx.tp_all_reduce(out)
         if layer.get("o_bias") is not None:
             out = out + layer["o_bias"]
         return out, kv_cache
 
-    def _mlp(self, layer, x):
-        up = apply_linear(layer["fc1"], x)
+    def _mlp(self, layer, x, lora_indices=None):
+        up = apply_linear(layer["fc1"], x, lora_indices)
         if self.gated_mlp:
             if self.act_name == "silu":
                 up = silu_and_mul(up)
@@ -205,7 +207,7 @@ class GenericDecoder:
                 up = gelu_and_mul(up)
         else:
             up = self.act(up)
-        out = apply_linear(layer["fc2"], up)
+        out = apply_linear(layer["fc2"], up, lora_indices)
         out = self.ctx.tp_all_reduce(out)
         if layer.get("fc2_bias") is not None:
             out = out + layer["fc2_bias"]

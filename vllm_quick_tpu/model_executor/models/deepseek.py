@@ -32,9 +32,9 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         return (self.num_experts > 0 and i >= self.first_dense
                 and i % self.moe_freq == 0)
 
-    def _mlp_block(self, layer, x):
+    def _mlp_block(self, layer, x, lora_indices=None):
         if "moe_w13" not in layer:
-            return super()._mlp_block(layer, x)
+            return super()._mlp_block(layer, x, lora_indices)
         lead = x.shape[:-1]
         xf = x.reshape(-1, x.shape[-1])
         router_logits = apply_linear(layer["router"], xf)

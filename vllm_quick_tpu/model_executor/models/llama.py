@@ -94,14 +94,15 @@ class LlamaForCausalLM:
             new_caches.append(cache)
             x, residual = fused_add_rms_norm(
                 x, residual, layer["post_norm"], self.rms_eps)
-            x = self._mlp_block(layer, x)
+            x = self._mlp_block(layer, x, meta.lora_indices)
             h = x
         h, _ = fused_add_rms_norm(h, residual, params["final_norm"],
                                   self.rms_eps)
         return h, new_caches
 
     def _attention_block(self, layer, x, positions, kv_cache, meta):
-        qkv = apply_linear(layer["qkv"], x)
+        li = meta.lora_indices
+        qkv = apply_linear(layer["qkv"], x, li)
         q_sz = self.num_heads * self.head_dim
         kv_sz = self.num_kv_heads * self.head_dim
         q = qkv[..., :q_sz]
@@ -113,19 +114,37 @@ class LlamaForCausalLM:
         qh, kh = self.rope(positions, qh, kh)
         out, kv_cache = self.attn(qh.reshape(*lead, -1),
                                   kh.reshape(*lead, -1), v, kv_cache, meta)
-        out = apply_linear(layer["o"], out)
+        out = apply_linear(layer["o"], out, li)
         out = self.ctx.tp_all_reduce(out)
         return out, kv_cache
 
-    def _mlp_block(self, layer, x):
-        gate_up = apply_linear(layer["gate_up"], x)
+    def _mlp_block(self, layer, x, lora_indices=None):
+        gate_up = apply_linear(layer["gate_up"], x, lora_indices)
         x = silu_and_mul(gate_up)
-        x = apply_linear(layer["down"], x)
+        x = apply_linear(layer["down"], x, lora_indices)
         return self.ctx.tp_all_reduce(x)
 
     def compute_logits(self, params: Dict[str, Any],
                        hidden: jax.Array) -> jax.Array:
         return unembed(hidden, params["lm_head"], self.vocab_size, self.ctx)
+
+    def lora_target_map(self):
+        """Fused-module composition for the LoRA manager: param key ->
+        [(hf_module, out_col_start, out_cols)] (lora/models.py packing;
+        reference lora/layers.py packed modules)."""
+        e = self.hidden_size
+        q = self.num_heads * self.head_dim
+        kvs = self.num_kv_heads * self.head_dim
+        inter = self.config.intermediate_size // self.ctx.tp_size
+        return {
+            "qkv": [("self_attn.q_proj", 0, q),
+                    ("self_attn.k_proj", q, kvs),
+                    ("self_attn.v_proj", q + kvs, kvs)],
+            "o": [("self_attn.o_proj", 0, e)],
+            "gate_up": [("mlp.gate_proj", 0, inter),
+                        ("mlp.up_proj", inter, inter)],
+            "down": [("mlp.down_proj", 0, e)],
+        }
 
     # -- loading -----------------------------------------------------------
 

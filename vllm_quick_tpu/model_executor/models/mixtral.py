@@ -29,7 +29,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         self.top_k = hf_config.num_experts_per_tok
         assert self.num_experts % ctx.ep_size == 0
 
-    def _mlp_block(self, layer, x):
+    def _mlp_block(self, layer, x, lora_indices=None):
         lead = x.shape[:-1]
         xf = x.reshape(-1, x.shape[-1])
         router_logits = apply_linear(layer["router"], xf)  # [T, E] repl

@@ -56,18 +56,23 @@ def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
     if lw.shard == "col":
         w = P(None, tp_axis)
         bias = P(tp_axis)
+        la, lb = P(), P(None, None, tp_axis)
     elif lw.shard == "row":
         w = P(tp_axis, None)
         bias = P()   # row bias is applied once after the psum
+        la, lb = P(None, tp_axis, None), P()
     else:
         w = P()
         bias = P()
+        la, lb = P(), P()
     return dataclasses.replace(
         lw,
         w=None if lw.w is None else w,
         qw=None if lw.qw is None else _quant_pspecs(lw.qw, lw.shard,
                                                     tp_axis),
         bias=None if lw.bias is None else bias,
+        lora_a=None if lw.lora_a is None else la,
+        lora_b=None if lw.lora_b is None else lb,
     )
 
 

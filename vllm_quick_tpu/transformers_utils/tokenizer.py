@@ -76,7 +76,9 @@ class TokenizerGroup:
             try:
                 tok = get_tokenizer(lora_request.lora_local_path,
                                     **self.tokenizer_config)
-            except OSError:
+            except Exception:
+                # No tokenizer shipped with the adapter: use the base
+                # model's (reference tokenizer.py:121 fallback).
                 tok = self.tokenizer
             self.lora_tokenizers[key] = tok
         return self.lora_tokenizers[key]

@@ -63,6 +63,8 @@ class ModelRunner:
         self.sampler: Optional[Sampler] = None
         self._jit_step = None
         self._rng_counter = 0
+        self.lora_manager = None
+        self._lora_mapping: Dict[int, int] = {}
 
     # -- setup ---------------------------------------------------------------
 
@@ -84,6 +86,18 @@ class ModelRunner:
             logits = model.compute_logits(params, hidden)
             return logits, new_caches
 
+        if self.lora_config is not None:
+            assert self.ctx.tp_size == 1, (
+                "multi-LoRA under tensor parallelism lands next; "
+                "serve LoRA on tp=1 for now")
+            if not hasattr(self.model, "lora_target_map"):
+                raise ValueError(
+                    f"{type(self.model).__name__} does not support LoRA")
+            from vllm_quick_tpu.lora.worker_manager import WorkerLoRAManager
+            self.lora_manager = WorkerLoRAManager(
+                self.params, self.model, self.lora_config,
+                dtype=self.model_config.dtype)
+
         world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
         if world > 1:
             from vllm_quick_tpu.parallel.sharding import (
@@ -98,6 +112,11 @@ class ModelRunner:
     def _slot(self, block_table: List[int], pos: int) -> int:
         block = block_table[pos // self.block_size]
         return block * self.block_size + pos % self.block_size
+
+    def _lora_slot(self, m: SequenceGroupMetadata) -> int:
+        if self.lora_manager is None or m.lora_request is None:
+            return -1
+        return self._lora_mapping.get(m.lora_request.lora_int_id, -1)
 
     def _prepare_prompt(
         self, metas: List[SequenceGroupMetadata]
@@ -153,12 +172,20 @@ class ModelRunner:
             context_lens = jnp.asarray(
                 np.asarray(prefix_lens + [0] * pad_rows, np.int32))
 
+        lora_indices = None
+        if self.lora_manager is not None:
+            rows = [self._lora_slot(m) for m in metas] + [-1] * pad_rows
+            lora_indices = jnp.asarray(
+                np.broadcast_to(np.asarray(rows, np.int32)[:, None],
+                                (b, lmax)).copy())
+
         meta = InputMetadata(
             is_prompt=True,
             slot_mapping=jnp.asarray(slots),
             prompt_lens=jnp.asarray(prompt_lens),
             context_lens=context_lens,
             block_tables=block_tables,
+            lora_indices=lora_indices,
         )
         return jnp.asarray(ids), jnp.asarray(pos), meta, prompt_lens
 
@@ -170,8 +197,10 @@ class ModelRunner:
         slots: List[int] = []
         ctx_lens: List[int] = []
         block_tables: List[List[int]] = []
+        lora_slots: List[int] = []
         for m in metas:
             for seq_id in sorted(m.seq_data):
+                lora_slots.append(self._lora_slot(m))
                 data = m.seq_data[seq_id]
                 tok = data.get_last_token_id()
                 p = data.get_len() - 1
@@ -195,6 +224,10 @@ class ModelRunner:
         pad = b - len(ids)
         if pad:
             bt_arr = np.pad(bt_arr, ((0, pad), (0, 0)))
+        lora_indices = None
+        if self.lora_manager is not None:
+            lora_indices = jnp.asarray(
+                np.asarray(lora_slots + [-1] * pad, np.int32))
         meta = InputMetadata(
             is_prompt=False,
             slot_mapping=jnp.asarray(np.asarray(slots + [0] * pad,
@@ -202,6 +235,7 @@ class ModelRunner:
             context_lens=jnp.asarray(
                 np.asarray(ctx_lens + [0] * pad, np.int32)),
             block_tables=jnp.asarray(bt_arr),
+            lora_indices=lora_indices,
         )
         ids_arr = jnp.asarray(np.asarray(ids + [0] * pad, np.int32))
         pos_arr = jnp.asarray(np.asarray(pos + [0] * pad, np.int32))
@@ -216,6 +250,12 @@ class ModelRunner:
     ) -> Tuple[Optional[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
         if not metas:
             return None, kv_caches
+        if self.lora_manager is not None:
+            requests = {m.lora_request for m in metas
+                        if m.lora_request is not None}
+            self._lora_mapping = (
+                self.lora_manager.set_active_loras(requests)
+                if requests else {})
         is_prompt = metas[0].is_prompt
         if is_prompt:
             ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
