@@ -58,9 +58,10 @@ class SequenceStatus(enum.Enum):
 class SequenceData:
     """Raw token ids + running logprob for one sequence."""
 
-    def __init__(self, prompt_token_ids: List[int]) -> None:
+    def __init__(self, prompt_token_ids: List[int],
+                 output_token_ids: Optional[List[int]] = None) -> None:
         self.prompt_token_ids = prompt_token_ids
-        self.output_token_ids: List[int] = []
+        self.output_token_ids: List[int] = output_token_ids or []
         self.cumulative_logprob = 0.0
 
     def append_token_id(self, token_id: int, logprob: float) -> None:
