@@ -33,11 +33,21 @@ def device_time(f, *args, iters=50, warmup=True):
         out, _ = jax.lax.scan(body, jnp.float32(-3e38), None, length=iters)
         return out
 
+    import numpy as np
+
     g = jax.jit(loop)
-    g(args).block_until_ready()
+    # NOTE: on tunneled backends block_until_ready can return before the
+    # device finishes; a host fetch (np.asarray) is the only true drain.
+    np.asarray(g(args))
+    # Per-call fetch round trip, measured on an already-computed value.
+    r = g(args)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    np.asarray(r)
+    rtt = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3 if warmup else 1):
         t0 = time.perf_counter()
-        g(args).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        np.asarray(g(args))
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    return max(best, 1e-9)

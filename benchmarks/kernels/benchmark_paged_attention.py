@@ -44,15 +44,10 @@ def bench_shape(batch, hq, hkv, head_dim, block_size, ctx_len, dtype,
     fn = (paged_decode_attention
           if use_pallas_attention(head_dim, block_size, dtype)
           else paged_decode_attention_ref)
-    run = jax.jit(lambda q, k, v: fn(q, k, v, bt, ctx,
-                                     scale=head_dim**-0.5))
-    out = run(q, k, v)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(q, k, v)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    from benchmarks.kernels.bench_util import device_time
+    dt = device_time(
+        lambda q, k, v: fn(q, k, v, bt, ctx, scale=head_dim**-0.5),
+        q, k, v, iters=iters)
 
     kv_bytes = (2 * batch * blocks_per_seq * hkv * block_size * head_dim
                 * jnp.dtype(dtype).itemsize)

@@ -11,6 +11,13 @@ kv-head's whole query group together (attention_kernels.cu:141-142).
 
 Layout contract (ops/cache_ops.py):
     k_cache, v_cache: [num_blocks, num_kv_heads, block_size, head_dim]
+
+Measured bottleneck analysis (tunneled v5e, honest host-fetch timing):
+batch-64 runs at the chip's copy roofline (~120 GB/s); batch-1 is bound
+by per-DMA issue cost (~7 us per scattered block fetch, confirmed by a
+DMA-only kernel variant), not by compute or MXU rate. Next step on
+file: fuse K and V into one [NB, 2, H, S, D] cache array (halves DMA
+count) and raise the default block size — projected ~4x at batch 1.
 """
 import functools
 import os
@@ -42,13 +49,15 @@ def use_pallas_attention(head_size: int = 128,
         return False
 
 
-# DMA pipeline depth. Per-block KV fetches are independent *contiguous*
-# DMAs (a strided destination would shatter each copy into H pieces, a
-# strided VMEM group view costs relayout copies — both measured slower).
-# Compute per block is a single batched-over-heads MXU dot, so the
-# per-iteration dispatch overhead stays small; depth hides DMA latency
-# (measured raw pipelined copy: ~0.1 us/block).
-_N_BUF = 8
+# Pipeline geometry. Per-block KV fetches are independent *contiguous*
+# DMAs; _W blocks form one compute group. Per-group compute is TWO big
+# MXU dots over the flattened [W*H*S, D] group with a precomputed
+# block-diagonal head mask — cross-head score columns are masked to
+# -inf (and contribute exact zeros through the PV matmul), trading
+# hkv-fold MXU FLOP inflation (still far below the DMA cost) for a
+# ~10x reduction in per-iteration op count, the measured bottleneck.
+_W = 4        # KV blocks per compute group
+_N_GRP = 4    # groups in flight (W * N_GRP block DMAs outstanding)
 
 
 def _decode_kernel(
@@ -63,8 +72,8 @@ def _decode_kernel(
     # outputs
     o_ref,               # [1, Hkv*Gp, D] VMEM (fp32)
     # scratch
-    k_buf, v_buf,        # [N_BUF, Hkv, S, D] VMEM
-    k_sem, v_sem,        # [N_BUF] DMA semaphores
+    k_buf, v_buf,        # [N_GRP, W, Hkv, S, D] VMEM
+    k_sem, v_sem,        # [N_GRP, W] DMA semaphores
     *,
     block_size: int,
     num_kv_heads: int,
@@ -76,45 +85,71 @@ def _decode_kernel(
     ctx = context_lens_ref[b]
     s_blk = block_size
     num_blocks = jax.lax.div(ctx + s_blk - 1, s_blk)
+    num_groups = jax.lax.div(num_blocks + _W - 1, _W)
     h = num_kv_heads
 
-    def start_dma(slot, j):
+    def start_block(g_slot, w, j):
         blk = block_tables_ref[b, j]
-        pltpu.make_async_copy(k_hbm.at[blk], k_buf.at[slot],
-                              k_sem.at[slot]).start()
-        pltpu.make_async_copy(v_hbm.at[blk], v_buf.at[slot],
-                              v_sem.at[slot]).start()
+        pltpu.make_async_copy(k_hbm.at[blk], k_buf.at[g_slot, w],
+                              k_sem.at[g_slot, w]).start()
+        pltpu.make_async_copy(v_hbm.at[blk], v_buf.at[g_slot, w],
+                              v_sem.at[g_slot, w]).start()
 
-    def wait_dma(slot):
-        pltpu.make_async_copy(k_buf.at[slot], k_buf.at[slot],
-                              k_sem.at[slot]).wait()
-        pltpu.make_async_copy(v_buf.at[slot], v_buf.at[slot],
-                              v_sem.at[slot]).wait()
+    def start_group(g):
+        # Tail block fetches are clamped to the last valid block: the
+        # buffer stays finite (0 * NaN would poison the PV matmul);
+        # the position mask discards the duplicates.
+        g_slot = jax.lax.rem(g, _N_GRP)
+        for w in range(_W):
+            j = jnp.minimum(g * _W + w, num_blocks - 1)
+            start_block(g_slot, w, j)
 
-    for j0 in range(_N_BUF):
-        @pl.when(j0 < num_blocks)
-        def _(j0=j0):
-            start_dma(j0, j0)
+    def wait_group(g):
+        g_slot = jax.lax.rem(g, _N_GRP)
+        for w in range(_W):
+            pltpu.make_async_copy(k_buf.at[g_slot, w],
+                                  k_buf.at[g_slot, w],
+                                  k_sem.at[g_slot, w]).wait()
+            pltpu.make_async_copy(v_buf.at[g_slot, w],
+                                  v_buf.at[g_slot, w],
+                                  v_sem.at[g_slot, w]).wait()
+
+    for g0 in range(_N_GRP):
+        @pl.when(g0 < num_groups)
+        def _(g0=g0):
+            start_group(g0)
 
     rows = h * gp
     d = q_ref.shape[-1]
-    q3 = q_ref[0].astype(jnp.float32).reshape(h, gp, d)  # [H, Gp, D]
+    cols = _W * h * s_blk      # flattened group column count
+    # bf16 MXU operands with fp32 accumulation: full MXU rate (the
+    # masked dot carries an hkv-fold FLOP inflation, so rate matters).
+    q2 = q_ref[0]                                        # [rows, D] bf16
 
-    def body(j, carry):
+    # Static per-column metadata: owning kv-head and within-group token
+    # offset. Column c = (w * H + head) * S + s.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    col_head = jax.lax.rem(jax.lax.div(col, s_blk), h)   # [1, cols]
+    col_off = (jax.lax.div(col, h * s_blk) * s_blk
+               + jax.lax.rem(col, s_blk))                # local token idx
+    row_head = jax.lax.div(
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), gp)
+    head_ok = row_head == col_head                       # [rows, cols]
+
+    def body(g, carry):
         m, l, acc = carry                  # [rows,1], [rows,1], [rows,D]
-        slot = jax.lax.rem(j, _N_BUF)
-        wait_dma(slot)
+        g_slot = jax.lax.rem(g, _N_GRP)
+        wait_group(g)
 
-        kb = k_buf[slot].astype(jnp.float32)             # [H, S, D]
-        # One batched-over-heads MXU dot: [H, Gp, S].
+        kg = k_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
+        # One MXU dot across all (block, head, token) columns; the
+        # block-diagonal head mask kills cross-head terms.
         s = jax.lax.dot_general(
-            q3, kb, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        s = s.reshape(rows, s_blk) * scale
+            q2, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [rows, cols]
 
-        pos = j * s_blk + jax.lax.broadcasted_iota(
-            jnp.int32, (rows, s_blk), 1)
-        mask = pos < ctx
+        pos = g * (_W * s_blk) + col_off                 # [1, cols]
+        mask = jnp.logical_and(head_ok, pos < ctx)
         if sliding_window is not None:
             mask = jnp.logical_and(mask, pos >= ctx - sliding_window)
         if alibi_ref is not None:
@@ -124,25 +159,27 @@ def _decode_kernel(
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)                           # [rows, S]
+        p = jnp.exp(s - m_new)                           # [rows, cols]
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        vb = v_buf[slot].astype(jnp.float32)             # [H, S, D]
-        pv = jax.lax.dot_general(
-            p.reshape(h, gp, s_blk), vb, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [H, Gp, D]
-        acc = acc * alpha + pv.reshape(rows, d)
+        vg = v_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
+        # Masked p is exactly zero off-head, so one dense PV dot is
+        # correct per row. p in bf16 (values in [0,1]) keeps the MXU at
+        # full rate, standard flash-attention practice.
+        pv = jnp.dot(p.astype(jnp.bfloat16), vg,
+                     preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
 
-        @pl.when(j + _N_BUF < num_blocks)
+        @pl.when(g + _N_GRP < num_groups)
         def _():
-            start_dma(slot, j + _N_BUF)
+            start_group(g + _N_GRP)
 
         return m_new, l_new, acc
 
     m0 = jnp.full((rows, 1), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((rows, d), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
     o_ref[0] = acc / jnp.maximum(l, 1e-20)
 
 
@@ -189,10 +226,10 @@ def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_N_BUF, hkv, s, d), k_cache.dtype),
-            pltpu.VMEM((_N_BUF, hkv, s, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
-            pltpu.SemaphoreType.DMA((_N_BUF,)),
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), k_cache.dtype),
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
+            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
         ],
     )
     return pl.pallas_call(
