@@ -213,6 +213,9 @@ class ParamBuilder:
 
     def _quant_fused(self, prefixes, shard, part_units, col_range
                      ) -> LinearWeights:
+        if self.quant.method == "squeezellm":
+            return self._sqllm_fused(prefixes, shard, part_units,
+                                     col_range)
         qs, zs, ss = [], [], []
         perm = None
         for p, units in zip(prefixes, part_units):
@@ -249,6 +252,36 @@ class ParamBuilder:
         qw = qf.build_quantized_weight(q, z, s, g, self.fmt)
         if perm is not None:
             qw.perm = jnp.asarray(perm)
+        return LinearWeights(qw=qw, shard=shard)
+
+    def _sqllm_fused(self, prefixes, shard, part_units, col_range
+                     ) -> LinearWeights:
+        """SqueezeLLM: per-column LUT quant (reference squeezellm.py:
+        qweight int32 [K/8, N] + lookup_table [N, 16])."""
+        import jax.numpy as jnp_
+        qs, luts = [], []
+        for p, units in zip(prefixes, part_units):
+            q = qf.gptq_unpack_int32(self.weights[f"{p}.qweight"], axis=0)
+            lut = self.weights[f"{p}.lookup_table"].astype(np.float32)
+            if shard == "col":
+                st, c = col_range(q.shape[1], units)
+                q = q[:, st:st + c]
+                lut = lut[st:st + c]
+            elif shard == "row":
+                q = self._col_slice(q, axis=0)
+            qs.append(q)
+            luts.append(lut)
+        q = np.concatenate(qs, axis=1) if len(qs) > 1 else qs[0]
+        lut = np.concatenate(luts, axis=0) if len(luts) > 1 else luts[0]
+        k, n = q.shape
+        from vllm_quick_tpu.ops.quant_formats import QuantizedWeight
+        qw = QuantizedWeight(
+            packed=jnp_.asarray(q.astype(np.uint8), dtype=jnp_.uint4),
+            scales=jnp_.zeros((1, n), dtype=jnp_.float32),
+            zeros=jnp_.zeros((1, n), dtype=jnp_.float32),
+            group_size=k, fmt="sqllm",
+            in_features=k, out_features=n, padded_in=k, padded_out=n,
+            lut=jnp_.asarray(lut))
         return LinearWeights(qw=qw, shard=shard)
 
     def linear_from_arrays(

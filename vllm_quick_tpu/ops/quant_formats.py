@@ -75,6 +75,9 @@ class QuantizedWeight:
     # Optional runtime K-permutation (GPTQ act-order): x must be gathered
     # with this index before the matmul. None for natural order.
     perm: Optional[jax.Array] = None
+    # SqueezeLLM non-uniform codebook: [N, 16] per-output-channel float
+    # levels (fmt='sqllm'); scales/zeros are unused placeholders then.
+    lut: Optional[jax.Array] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -91,9 +94,14 @@ def _round_up(x: int, m: int) -> int:
 
 def pack_i8pair(q: np.ndarray) -> np.ndarray:
     """uint4-valued q [K, N] (K % 256 == 0) -> int8 [K//2, N] superblock
-    dual-half layout."""
+    dual-half layout. Uses the native repacker (csrc/repack.cpp) when
+    available."""
     k, n = q.shape
     assert k % SUPERBLOCK == 0, k
+    from vllm_quick_tpu import native
+    out = native.pack_i8pair(q)
+    if out is not None:
+        return out
     qb = q.reshape(k // SUPERBLOCK, 2, SUPERBLOCK // 2, n).astype(np.uint8)
     packed = qb[:, 0] | (qb[:, 1] << 4)
     return packed.reshape(k // 2, n).view(np.int8)
@@ -116,8 +124,13 @@ def awq_unpack_int32(x: np.ndarray) -> np.ndarray:
     """Unpack AWQ int32-packed nibbles along the last dim.
 
     x: int32 [..., N/8] -> uint8-valued [..., N]; nibble position p holds
-    logical element AWQ_PACK_ORDER[p] (dequantize.cuh:17-84).
+    logical element AWQ_PACK_ORDER[p] (dequantize.cuh:17-84). Uses the
+    native repacker (csrc/repack.cpp) when available.
     """
+    from vllm_quick_tpu import native
+    out = native.awq_unpack(np.ascontiguousarray(x))
+    if out is not None:
+        return out
     x = x.view(np.uint32) if x.dtype == np.int32 else x.astype(np.uint32)
     shifts = np.arange(0, 32, 4, dtype=np.uint32)
     nibbles = ((x[..., None] >> shifts) & 0xF).astype(np.uint8)
@@ -129,7 +142,12 @@ def awq_unpack_int32(x: np.ndarray) -> np.ndarray:
 
 def gptq_unpack_int32(x: np.ndarray, axis: int) -> np.ndarray:
     """Unpack GPTQ int32-packed nibbles along ``axis`` (sequential order,
-    LSB first)."""
+    LSB first). Uses the native repacker for the axis-0 hot case."""
+    if axis == 0 and x.ndim == 2:
+        from vllm_quick_tpu import native
+        out = native.gptq_unpack_axis0(np.ascontiguousarray(x))
+        if out is not None:
+            return out
     x = x.view(np.uint32) if x.dtype == np.int32 else x.astype(np.uint32)
     shifts = np.arange(0, 32, 4, dtype=np.uint32)
     xm = np.moveaxis(x, axis, -1)
@@ -177,6 +195,45 @@ def from_gptq(
                                 fmt)
     if perm is not None:
         qw.perm = jnp.asarray(perm)
+    return qw
+
+
+def from_squeezellm(
+    qweight: np.ndarray,        # int32 [K/8, N] sequential nibbles
+    lookup_table: np.ndarray,   # [N, 16] float codebook per out channel
+) -> "QuantizedWeight":
+    """Ingest one SqueezeLLM layer (reference:
+    vllm/model_executor/layers/quantization/squeezellm.py:13-60 +
+    csrc/quantization/squeezellm/quant_cuda_kernel.cu LUT dequant).
+    Runtime path is dequantize-then-GEMM (the reference's GEMV kernel is
+    a low-batch optimization; capability parity first)."""
+    q = gptq_unpack_int32(qweight, axis=0)          # [K, N] 0..15
+    k, n = q.shape
+    return QuantizedWeight(
+        packed=jnp.asarray(q.astype(np.uint8), dtype=jnp.uint4),
+        scales=jnp.zeros((1, n), dtype=jnp.float32),
+        zeros=jnp.zeros((1, n), dtype=jnp.float32),
+        group_size=k, fmt="sqllm",
+        in_features=k, out_features=n, padded_in=k, padded_out=n,
+        lut=jnp.asarray(lookup_table.astype(np.float32)))
+
+
+def quantize_squeezellm_reference(w: np.ndarray,
+                                  n_levels: int = 16) -> "QuantizedWeight":
+    """Per-column quantile codebook quantization of a dense matrix —
+    test/ingest-free analogue of SqueezeLLM's k-means codebooks."""
+    k, n = w.shape
+    qs = np.linspace(0, 1, n_levels)
+    lut = np.quantile(w, qs, axis=0).T.astype(np.float32)   # [N, 16]
+    dist = np.abs(w[:, :, None] - lut[None, :, :])      # [K, N, 16]
+    q = np.argmin(dist, axis=2).astype(np.uint8)            # [K, N]
+    qw = QuantizedWeight(
+        packed=jnp.asarray(q, dtype=jnp.uint4),
+        scales=jnp.zeros((1, n), dtype=jnp.float32),
+        zeros=jnp.zeros((1, n), dtype=jnp.float32),
+        group_size=k, fmt="sqllm",
+        in_features=k, out_features=n, padded_in=k, padded_out=n,
+        lut=jnp.asarray(lut))
     return qw
 
 
@@ -298,7 +355,7 @@ def dummy_quantized_weight(k: int, n: int, group_size: int = 128,
 
 def unpack_to_int(qw: QuantizedWeight) -> jax.Array:
     """[K, N] int32-valued quantized weights in natural order (unpadded)."""
-    if qw.fmt in ("u4", "ref"):
+    if qw.fmt in ("u4", "ref", "sqllm"):
         q = qw.packed.astype(jnp.int32)
     else:
         kp = qw.padded_in
@@ -312,6 +369,13 @@ def unpack_to_int(qw: QuantizedWeight) -> jax.Array:
 def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jax.Array:
     """Full dequantization to a dense [K, N] matrix (unpadded)."""
     k, n = qw.in_features, qw.out_features
+    if qw.fmt == "sqllm":
+        # w[k, n] = lut[n, q[k, n]] — per-column codebook gather.
+        q = unpack_to_int(qw)                               # [K, N]
+        w = jnp.take_along_axis(
+            jnp.broadcast_to(qw.lut[None, :, :], (k, n, 16)),
+            q[:, :, None], axis=2)[..., 0]
+        return w.astype(dtype)
     if qw.fmt == "ref":
         g = qw.group_size
     else:

@@ -48,8 +48,12 @@ def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str
     if qw.perm is not None:
         # GPTQ act-order permutation indexes this rank's local K shard.
         perm = P(tp_axis) if shard == "row" else P()
+    lut = None
+    if qw.lut is not None:
+        # [N, 16] codebook follows the output dim.
+        lut = P(tp_axis, None) if shard == "col" else P()
     return dataclasses.replace(qw, packed=arr, scales=arr, zeros=arr,
-                               perm=perm)
+                               perm=perm, lut=lut)
 
 
 def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
