@@ -73,7 +73,33 @@ def hf_weights_iterator(
     model_dir: str,
     load_format: str = "auto",
 ) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (name, numpy array) for every tensor in the checkpoint."""
+    """Yield (name, numpy array) for every tensor in the checkpoint.
+
+    ``npcache``: converts once to a per-tensor .npy cache under
+    <model_dir>/np_cache and memory-maps from there afterwards
+    (reference: weight_utils.py npcache format).
+    """
+    if load_format == "npcache":
+        cache_dir = os.path.join(model_dir, "np_cache")
+        manifest = os.path.join(cache_dir, "manifest.json")
+        if not os.path.exists(manifest):
+            os.makedirs(cache_dir, exist_ok=True)
+            names = []
+            for name, arr in hf_weights_iterator(model_dir, "auto"):
+                np.save(os.path.join(cache_dir,
+                                     name.replace("/", "_") + ".npy"),
+                        arr)
+                names.append(name)
+            with open(manifest, "w") as f:
+                json.dump(names, f)
+        with open(manifest) as f:
+            names = json.load(f)
+        for name in names:
+            yield name, np.load(
+                os.path.join(cache_dir, name.replace("/", "_") + ".npy"),
+                mmap_mode="r")
+        return
+
     st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     bin_files = sorted(glob.glob(os.path.join(model_dir, "*.bin")) +
                        glob.glob(os.path.join(model_dir, "*.pt")))
