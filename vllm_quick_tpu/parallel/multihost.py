@@ -1,0 +1,86 @@
+"""Multi-host serving coordination.
+
+The reference drives TP followers with Ray RPC + NCCL
+``broadcast_tensor_dict`` (vllm/model_executor/parallel_utils/
+communication_op.py:143-203, worker.py:191-226). The TPU-native
+equivalent (SURVEY §2.6/§7): JAX is SPMD — every host runs the same
+engine loop over its slice of the global mesh, host 0 owns the
+scheduler, and the per-step batch metadata (token ids, positions, slot
+mappings, block tables) is broadcast host-0 -> all with
+``multihost_utils.broadcast_one_to_all`` before every jitted step. The
+data plane needs no plumbing at all: the step is jitted over the global
+mesh and XLA routes collectives over ICI within a slice and DCN across
+slices.
+
+Single-process (tests, one host) every call here is a no-op, so the
+engine code path is identical from 1 chip to a pod slice.
+"""
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from vllm_quick_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def is_driver() -> bool:
+    """Host 0 owns the tokenizer, scheduler and detokenization —
+    the analogue of the reference's driver worker."""
+    return jax.process_index() == 0
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime (call once per host
+    before any jax op; the analogue of init_distributed_environment,
+    worker.py:238)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    logger.info("Multihost initialized: process %d / %d",
+                jax.process_index(), jax.process_count())
+
+
+def broadcast_step_inputs(inputs: Optional[Dict[str, Any]]
+                          ) -> Dict[str, Any]:
+    """Broadcast host-0's prepared step inputs (numpy pytree) to every
+    host. Follower hosts pass ``None`` and receive the driver's value.
+
+    The dict values must be numpy arrays or scalars; shapes must agree
+    across hosts per step (the bucketed static shapes guarantee this).
+    """
+    if not is_multihost():
+        assert inputs is not None
+        return inputs
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(
+        inputs, is_source=is_driver())
+
+
+def sync_global_devices(tag: str) -> None:
+    """Barrier across hosts (used at init boundaries, e.g. after cache
+    profiling so every host sizes the same block pool)."""
+    if not is_multihost():
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
+def agree_num_blocks(local_num_blocks: int) -> int:
+    """Minimum across hosts — every host must size the identical pool
+    (the analogue of llm_engine.py:334 min over workers)."""
+    if not is_multihost():
+        return local_num_blocks
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(
+        np.asarray([local_num_blocks]))
+    return int(np.min(vals))

@@ -23,6 +23,7 @@ from vllm_quick_tpu.model_executor.model_loader import get_model
 from vllm_quick_tpu.model_executor.sampling_metadata import (
     build_sampling_tensors)
 from vllm_quick_tpu.parallel.mesh import ParallelContext
+from vllm_quick_tpu.parallel.multihost import broadcast_step_inputs
 from vllm_quick_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_quick_tpu.sequence import (SamplerOutput, SequenceGroupMetadata,
                                      SequenceGroupOutput, SequenceOutput)
@@ -243,13 +244,11 @@ class ModelRunner:
 
     # -- execution ---------------------------------------------------------
 
-    def execute_model(
-        self,
-        metas: List[SequenceGroupMetadata],
-        kv_caches: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[Optional[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
-        if not metas:
-            return None, kv_caches
+    def prepare_step_inputs(
+            self, metas: List[SequenceGroupMetadata]) -> Dict[str, Any]:
+        """Driver-side input preparation as a broadcastable numpy pytree
+        (the analogue of the reference's broadcast_tensor_dict payload,
+        model_runner.py:459-542)."""
         if self.lora_manager is not None:
             requests = {m.lora_request for m in metas
                         if m.lora_request is not None}
@@ -261,12 +260,63 @@ class ModelRunner:
             ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
         else:
             ids, pos, meta, prompt_lens = self._prepare_decode(metas)
+        payload = {
+            "is_prompt": np.asarray(1 if is_prompt else 0, np.int32),
+            "ids": np.asarray(ids),
+            "pos": np.asarray(pos),
+            "prompt_lens": np.asarray(prompt_lens),
+            "slot_mapping": np.asarray(meta.slot_mapping),
+        }
+        for name in ("context_lens", "block_tables", "lora_indices"):
+            v = getattr(meta, name)
+            if v is not None:
+                payload[name] = np.asarray(v)
+        return payload
 
-        logits, kv_caches = self._jit_step(self.params, ids, pos, kv_caches,
-                                           meta, jnp.asarray(prompt_lens))
+    def run_prepared(
+        self,
+        payload: Dict[str, Any],
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        """Execute the jitted step from a (possibly broadcast) payload —
+        identical on driver and follower hosts."""
+        def opt(name):
+            v = payload.get(name)
+            return None if v is None else jnp.asarray(v)
 
+        meta = InputMetadata(
+            is_prompt=bool(payload["is_prompt"]),
+            slot_mapping=jnp.asarray(payload["slot_mapping"]),
+            prompt_lens=jnp.asarray(payload["prompt_lens"])
+            if bool(payload["is_prompt"]) else None,
+            context_lens=opt("context_lens"),
+            block_tables=opt("block_tables"),
+            lora_indices=opt("lora_indices"),
+        )
+        return self._jit_step(self.params, jnp.asarray(payload["ids"]),
+                              jnp.asarray(payload["pos"]), kv_caches, meta,
+                              jnp.asarray(payload["prompt_lens"]))
+
+    def execute_model(
+        self,
+        metas: List[SequenceGroupMetadata],
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+    ) -> Tuple[Optional[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
+        if not metas:
+            return None, kv_caches
+        payload = self.prepare_step_inputs(metas)
+        payload = broadcast_step_inputs(payload)
+        logits, kv_caches = self.run_prepared(payload, kv_caches)
         sampler_output = self._sample(metas, logits)
         return sampler_output, kv_caches
+
+    def execute_follower_step(
+        self, kv_caches: List[Tuple[jax.Array, jax.Array]]):
+        """Follower hosts: receive the driver's payload and run the same
+        jitted step (reference worker.py:210-226 follower path)."""
+        payload = broadcast_step_inputs(None)
+        _, kv_caches = self.run_prepared(payload, kv_caches)
+        return kv_caches
 
     def _sample(self, metas: List[SequenceGroupMetadata],
                 logits: jax.Array) -> SamplerOutput:

@@ -109,6 +109,10 @@ class Worker:
         num_device_blocks = min(num_device_blocks, max_mappable)
         num_cpu_blocks = int(cpu_swap_space // cache_block_size)
         num_cpu_blocks = min(num_cpu_blocks, max_mappable)
+        # Multihost: every host must size the identical pool
+        # (reference llm_engine.py:334 min across workers).
+        from vllm_quick_tpu.parallel.multihost import agree_num_blocks
+        num_device_blocks = agree_num_blocks(int(num_device_blocks))
         logger.info(
             "Memory profile: used=%.2f GiB limit=%.2f GiB "
             "block=%d KiB -> %d device blocks, %d host blocks",
