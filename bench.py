@@ -76,7 +76,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     ctx_len = int(os.environ.get("BENCH_CTX", "512"))
-    block_size = 16
+    block_size = int(os.environ.get("BENCH_BLOCK", "16"))
     blocks_per_seq = -(-ctx_len // block_size)
     num_blocks = 1 + batch * blocks_per_seq
 

@@ -223,3 +223,31 @@ def test_family_matches_hf(family):
     ours_new = paged_greedy(model, params, caches, prompt,
                             int(np.argmax(ours[len(prompt) - 1])), n_steps)
     assert ours_new == hf_new, (family, ours_new, hf_new)
+
+
+def test_mistral_sliding_window_matches_hf():
+    """Sliding-window attention (reference: tests/models/test_mistral.py)
+    with a window smaller than the prompt so it actually clips."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+    cfg = MistralConfig(vocab_size=256, hidden_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, intermediate_size=256,
+                        max_position_embeddings=128, sliding_window=8,
+                        tie_word_embeddings=False,
+                        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf_model = MistralForCausalLM(cfg).to(torch.float32).eval()
+    import tempfile
+    d = tempfile.mkdtemp(prefix="tiny_mistral_")
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    mc = ModelConfig(model=d, dtype="float32", hf_config=cfg)
+    model, params = get_model(mc)
+    assert model.sliding_window == 8
+
+    prompt = list(range(3, 3 + 24))   # 24 tokens > window 8
+    ours, caches = run_prefill(model, params, prompt)
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0].numpy()
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
