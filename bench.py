@@ -81,8 +81,7 @@ def main():
     num_blocks = 1 + batch * blocks_per_seq
 
     shape = model.kv_cache_shape(num_blocks, block_size)
-    caches = [(jnp.zeros(shape, jnp.bfloat16),
-               jnp.zeros(shape, jnp.bfloat16))
+    caches = [jnp.zeros(shape, jnp.bfloat16)
               for _ in range(model.num_layers)]
 
     bt = np.zeros((batch, blocks_per_seq), np.int32)

@@ -38,10 +38,8 @@ def compute_perplexity(model, params, token_ids, max_len=2048,
             break
         l = len(window)
         num_blocks = 1 + -(-l // block_size)
-        caches = [(jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
-                             jnp.bfloat16),
-                   jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
-                             jnp.bfloat16))
+        caches = [jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
+                            jnp.bfloat16)
                   for _ in range(model.num_layers)]
         ids = jnp.asarray([window], jnp.int32)
         pos = jnp.arange(l, dtype=jnp.int32)[None, :]

@@ -31,30 +31,40 @@ def bench_shape(batch, hq, hkv, head_dim, block_size, ctx_len, dtype,
     num_blocks = 1 + batch * blocks_per_seq
     q = jnp.asarray(rng.standard_normal((batch, hq, head_dim)),
                     jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal(
-        (num_blocks, hkv, block_size, head_dim)) * 0.3, dtype)
-    v = jnp.asarray(rng.standard_normal(
-        (num_blocks, hkv, block_size, head_dim)) * 0.3, dtype)
+    kv = jnp.asarray(rng.standard_normal(
+        (num_blocks, 2, hkv, block_size, head_dim)) * 0.3, dtype)
     bt = np.zeros((batch, blocks_per_seq), np.int32)
     for i in range(batch):
         bt[i] = 1 + i * blocks_per_seq + np.arange(blocks_per_seq)
     bt = jnp.asarray(bt)
     ctx = jnp.full((batch,), ctx_len, jnp.int32)
 
-    fn = (paged_decode_attention
-          if use_pallas_attention(head_dim, block_size, dtype)
-          else paged_decode_attention_ref)
+    scale = head_dim**-0.5
+    use_pallas = use_pallas_attention(head_dim, block_size, dtype)
+    if use_pallas:
+        fn = lambda q, kv: paged_decode_attention(q, kv, bt, ctx,
+                                                  scale=scale)
+        # one-shot correctness vs the jnp reference (host compare)
+        got = np.asarray(fn(q, kv), np.float32)
+        want = np.asarray(paged_decode_attention_ref(
+            q, kv[:, 0], kv[:, 1], bt, ctx, scale=scale), np.float32)
+        # bf16 tolerance, same as tests/kernels/test_paged_attention.py
+        err = np.max(np.abs(got - want) / (3e-2 + 3e-2 * np.abs(want)))
+        assert err < 1.0, f"pallas vs ref exceeded bf16 tolerance: {err}"
+    else:
+        fn = lambda q, kv: paged_decode_attention_ref(
+            q, kv[:, 0], kv[:, 1], bt, ctx, scale=scale)
+        err = 0.0
     from benchmarks.kernels.bench_util import device_time
-    dt = device_time(
-        lambda q, k, v: fn(q, k, v, bt, ctx, scale=head_dim**-0.5),
-        q, k, v, iters=iters)
+    dt = device_time(fn, q, kv, iters=iters)
 
     kv_bytes = (2 * batch * blocks_per_seq * hkv * block_size * head_dim
                 * jnp.dtype(dtype).itemsize)
     gbps = kv_bytes / dt / 1e9
     print(f"b={batch:<4} hq={hq:<3} hkv={hkv:<3} d={head_dim} "
           f"s={block_size} ctx={ctx_len:<6} {str(dtype):<14} "
-          f"{dt * 1e6:8.1f} us   {gbps:7.1f} GB/s KV read")
+          f"{dt * 1e6:8.1f} us   {gbps:7.1f} GB/s KV read   "
+          f"maxrelerr={err:.2e}")
 
 
 def main():

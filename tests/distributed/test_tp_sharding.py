@@ -48,8 +48,9 @@ def _step_fn(model):
 
 def _make_caches(model, num_blocks=8, tp=1):
     shape = model.kv_cache_shape(num_blocks, BLOCK)
-    shape = (shape[0], shape[1] * tp) + shape[2:]
-    return [(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    # Head axis (index 2 of fused [NB, 2, H, S, D]) carries all tp shards.
+    shape = shape[:2] + (shape[2] * tp,) + shape[3:]
+    return [jnp.zeros(shape, jnp.float32)
             for _ in range(model.num_layers)]
 
 

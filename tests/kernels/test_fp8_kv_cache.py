@@ -16,12 +16,10 @@ def test_reshape_and_cache_fp8_roundtrip(rng):
     t, h, d, nb, s = 6, 2, 32, 4, 16
     key = rng.standard_normal((t, h, d)).astype(np.float32)
     value = rng.standard_normal((t, h, d)).astype(np.float32)
-    kc = jnp.zeros((nb, h, s, d), jnp.float8_e5m2)
-    vc = jnp.zeros((nb, h, s, d), jnp.float8_e5m2)
+    kv = jnp.zeros((nb, 2, h, s, d), jnp.float8_e5m2)
     slots = jnp.asarray(np.arange(t) + s, jnp.int32)  # block 1
-    kc, vc = reshape_and_cache(jnp.asarray(key), jnp.asarray(value),
-                               kc, vc, slots)
-    got = np.asarray(kc[1, :, :t].astype(jnp.float32)).transpose(1, 0, 2)
+    kv = reshape_and_cache(jnp.asarray(key), jnp.asarray(value), kv, slots)
+    got = np.asarray(kv[1, 0, :, :t].astype(jnp.float32)).transpose(1, 0, 2)
     want = np.asarray(jnp.asarray(key).astype(jnp.float8_e5m2).astype(
         jnp.float32))
     np.testing.assert_array_equal(got, want)

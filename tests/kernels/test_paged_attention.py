@@ -43,16 +43,17 @@ def oracle_decode(q, k_cache, v_cache, block_tables, context_lens, scale,
 
 
 def make_case(rng, b, hq, hkv, d, bs, max_blocks, dtype=jnp.float32):
+    """Returns a fused [NB, 2, H, S, D] cache (ops/cache_ops.py layout)."""
     nb = b * max_blocks + 1
-    k_cache = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)), dtype=dtype)
-    v_cache = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)), dtype=dtype)
+    kv_cache = jnp.asarray(rng.standard_normal((nb, 2, hkv, bs, d)),
+                           dtype=dtype)
     q = jnp.asarray(rng.standard_normal((b, hq, d)), dtype=dtype)
     # Distinct physical blocks (block 0 = null, never used).
     perm = rng.permutation(nb - 1)[:b * max_blocks] + 1
     block_tables = jnp.asarray(perm.reshape(b, max_blocks), dtype=jnp.int32)
     context_lens = jnp.asarray(
         rng.integers(1, bs * max_blocks + 1, size=(b,)), dtype=jnp.int32)
-    return q, k_cache, v_cache, block_tables, context_lens
+    return q, kv_cache, block_tables, context_lens
 
 
 @pytest.mark.parametrize("b,hq,hkv,d,bs,mb", [
@@ -62,7 +63,8 @@ def make_case(rng, b, hq, hkv, d, bs, max_blocks, dtype=jnp.float32):
     (5, 4, 4, 64, 16, 2),     # small head_dim
 ])
 def test_ref_matches_oracle(rng, b, hq, hkv, d, bs, mb):
-    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb)
+    q, kv, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb)
+    kc, vc = kv[:, 0], kv[:, 1]
     scale = d**-0.5
     got = np.asarray(paged_decode_attention_ref(q, kc, vc, bt, cl, scale))
     want = oracle_decode(np.asarray(q), np.asarray(kc), np.asarray(vc),
@@ -76,30 +78,32 @@ def test_ref_matches_oracle(rng, b, hq, hkv, d, bs, mb):
     (2, 16, 2, 128, 16, 2),   # group > 8
 ])
 def test_pallas_matches_ref(rng, b, hq, hkv, d, bs, mb):
-    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
-                                  dtype=jnp.bfloat16)
+    q, kv, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
+                              dtype=jnp.bfloat16)
     scale = d**-0.5
     got = np.asarray(
-        paged_decode_attention(q, kc, vc, bt, cl, scale, interpret=True),
+        paged_decode_attention(q, kv, bt, cl, scale, interpret=True),
         dtype=np.float32)
     want = np.asarray(
-        paged_decode_attention_ref(q, kc, vc, bt, cl, scale),
+        paged_decode_attention_ref(q, kv[:, 0], kv[:, 1], bt, cl, scale),
         dtype=np.float32)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
 def test_pallas_sliding_window_and_alibi(rng):
     b, hq, hkv, d, bs, mb = 2, 8, 4, 128, 16, 4
-    q, kc, vc, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
-                                  dtype=jnp.bfloat16)
+    q, kv, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
+                              dtype=jnp.bfloat16)
     scale = d**-0.5
     alibi = make_alibi_slopes(hq)
     for window in (None, 20):
         got = np.asarray(paged_decode_attention(
-            q, kc, vc, bt, cl, scale, alibi_slopes=alibi,
+            q, kv, bt, cl, scale, alibi_slopes=alibi,
             sliding_window=window, interpret=True), dtype=np.float32)
-        want = oracle_decode(np.asarray(q, np.float32), np.asarray(kc, np.float32),
-                             np.asarray(vc, np.float32), np.asarray(bt),
+        want = oracle_decode(np.asarray(q, np.float32),
+                             np.asarray(kv[:, 0], np.float32),
+                             np.asarray(kv[:, 1], np.float32),
+                             np.asarray(bt),
                              np.asarray(cl), scale,
                              alibi=np.asarray(alibi), window=window)
         np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
@@ -112,18 +116,18 @@ def test_prefill_then_decode_consistency(rng):
     d, bs = 64, 16
     ctx = 21
     nb = 8
-    k_cache = jnp.zeros((nb, hkv, bs, d), dtype=jnp.float32)
-    v_cache = jnp.zeros((nb, hkv, bs, d), dtype=jnp.float32)
+    kv_cache = jnp.zeros((nb, 2, hkv, bs, d), dtype=jnp.float32)
     keys = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
     vals = jnp.asarray(rng.standard_normal((ctx, hkv, d)), jnp.float32)
     blocks = [3, 5]
     slots = jnp.asarray([blocks[t // bs] * bs + t % bs for t in range(ctx)],
                         dtype=jnp.int32)
-    k_cache, v_cache = reshape_and_cache(keys, vals, k_cache, v_cache, slots)
+    kv_cache = reshape_and_cache(keys, vals, kv_cache, slots)
     q = jnp.asarray(rng.standard_normal((1, hq, d)), jnp.float32)
     bt = jnp.asarray([[3, 5, 0, 0]], dtype=jnp.int32)
     cl = jnp.asarray([ctx], dtype=jnp.int32)
-    got = np.asarray(paged_decode_attention_ref(q, k_cache, v_cache, bt, cl,
+    got = np.asarray(paged_decode_attention_ref(q, kv_cache[:, 0],
+                                                kv_cache[:, 1], bt, cl,
                                                 d**-0.5))
     # oracle directly from keys/vals
     out = np.zeros((1, hq, d), np.float32)

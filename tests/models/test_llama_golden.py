@@ -43,10 +43,8 @@ def run_prefill(model, params, token_ids, block_size=16, num_blocks=32):
     """Single-sequence prefill; returns logits for every position."""
     l = len(token_ids)
     kv_caches = [
-        (jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
-                   dtype=jnp.float32),
-         jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
-                   dtype=jnp.float32))
+        jnp.zeros(model.kv_cache_shape(num_blocks, block_size),
+                  dtype=jnp.float32)
         for _ in range(model.num_layers)
     ]
     ids = jnp.asarray([token_ids], dtype=jnp.int32)

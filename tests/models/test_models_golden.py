@@ -157,10 +157,8 @@ def _save(builder):
 
 def run_prefill(model, params, token_ids, num_blocks=32):
     l = len(token_ids)
-    caches = [(jnp.zeros(model.kv_cache_shape(num_blocks, BLOCK),
-                         jnp.float32),
-               jnp.zeros(model.kv_cache_shape(num_blocks, BLOCK),
-                         jnp.float32))
+    caches = [jnp.zeros(model.kv_cache_shape(num_blocks, BLOCK),
+                        jnp.float32)
               for _ in range(model.num_layers)]
     ids = jnp.asarray([token_ids], jnp.int32)
     pos = jnp.arange(l, dtype=jnp.int32)[None, :]

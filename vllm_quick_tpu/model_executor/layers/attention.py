@@ -18,7 +18,8 @@ from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
 from vllm_quick_tpu.ops.paged_attention import (paged_decode_attention,
                                                 use_pallas_attention)
 
-KVCache = Tuple[jax.Array, jax.Array]
+# Fused cache array [NB, 2, H, S, D] (K at index 0, V at 1 of axis 1).
+KVCache = jax.Array
 
 
 class Attention:
@@ -46,10 +47,9 @@ class Attention:
         query: jax.Array,     # [B, L, Hq*D] prefill | [B, Hq*D] decode
         key: jax.Array,       # [..., Hkv*D]
         value: jax.Array,     # [..., Hkv*D]
-        kv_cache: KVCache,    # ([Hkv, NB, S, D], [Hkv, NB, S, D])
+        kv_cache: KVCache,    # [NB, 2, Hkv, S, D] fused
         meta: InputMetadata,
     ) -> Tuple[jax.Array, KVCache]:
-        k_cache, v_cache = kv_cache
         lead = query.shape[:-1]
         q = query.reshape(*lead, self.num_heads, self.head_size)
         k = key.reshape(*lead, self.num_kv_heads, self.head_size)
@@ -58,17 +58,17 @@ class Attention:
         # Write this step's K/V to the paged cache first (attention.py:129).
         flat_k = k.reshape(-1, self.num_kv_heads, self.head_size)
         flat_v = v.reshape(-1, self.num_kv_heads, self.head_size)
-        k_cache, v_cache = reshape_and_cache(
-            flat_k, flat_v, k_cache, v_cache,
-            meta.slot_mapping.reshape(-1))
+        kv_cache = reshape_and_cache(flat_k, flat_v, kv_cache,
+                                     meta.slot_mapping.reshape(-1))
 
         if meta.is_prompt:
             if meta.block_tables is not None:
                 # Prefix-cached prompt: attend over cached context too
                 # (reference: attention.py:207-223 Triton path).
                 out = prefix_prefill_attention(
-                    q, k, v, k_cache, v_cache, meta.block_tables,
-                    meta.context_lens, meta.prompt_lens, self.scale,
+                    q, k, v, kv_cache[:, 0], kv_cache[:, 1],
+                    meta.block_tables, meta.context_lens,
+                    meta.prompt_lens, self.scale,
                     alibi_slopes=self.alibi_slopes,
                     sliding_window=self.sliding_window)
             else:
@@ -77,18 +77,18 @@ class Attention:
                     alibi_slopes=self.alibi_slopes,
                     sliding_window=self.sliding_window)
         else:
-            if use_pallas_attention(self.head_size, k_cache.shape[2],
-                                    k_cache.dtype):
+            if use_pallas_attention(self.head_size, kv_cache.shape[3],
+                                    kv_cache.dtype):
                 out = paged_decode_attention(
-                    q, k_cache, v_cache, meta.block_tables,
+                    q, kv_cache, meta.block_tables,
                     meta.context_lens, self.scale,
                     alibi_slopes=self.alibi_slopes,
                     sliding_window=self.sliding_window)
             else:
                 out = paged_decode_attention_ref(
-                    q, k_cache, v_cache, meta.block_tables,
+                    q, kv_cache[:, 0], kv_cache[:, 1], meta.block_tables,
                     meta.context_lens, self.scale,
                     alibi_slopes=self.alibi_slopes,
                     sliding_window=self.sliding_window)
         out = out.reshape(*lead, self.num_heads * self.head_size)
-        return out, (k_cache, v_cache)
+        return out, kv_cache

@@ -150,7 +150,9 @@ class LlamaForCausalLM:
 
     def kv_cache_shape(self, num_blocks: int,
                        block_size: int) -> Tuple[int, ...]:
-        return (num_blocks, self.num_kv_heads, block_size, self.head_dim)
+        # Fused K/V layout [NB, 2, H, S, D] (ops/cache_ops.py).
+        return (num_blocks, 2, self.num_kv_heads, block_size,
+                self.head_dim)
 
     def load_params(self, weights: Dict[str, np.ndarray],
                     tp_rank: int = 0) -> Dict[str, Any]:

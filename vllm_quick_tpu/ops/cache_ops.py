@@ -4,15 +4,15 @@ TPU-native replacements for the reference's CUDA cache kernels
 (csrc/cache_kernels.cu): writes are XLA scatters into donated cache
 arrays (in-place under jit), copies/swaps are batched gathers +
 scatters. The CUDA ``x``-packed key layout (cache_engine.py:57-65) is
-replaced by a *block-major* TPU layout:
+replaced by a *fused block-major* TPU layout:
 
-    k_cache, v_cache: [num_blocks, num_kv_heads, block_size, head_dim]
+    kv_cache: [num_blocks, 2, num_kv_heads, block_size, head_dim]
 
-chosen so the decode kernel fetches one whole block for all heads with
-a single large DMA (the per-(head, block) 4KB DMAs of a head-major
-layout are issue-rate-bound on TPU). Each (block, head) panel is a
-lane-aligned [block_size, head_dim] tile; tensor parallelism shards
-axis 1 over the mesh.
+with K at index 0 and V at index 1 of axis 1. Fusing K and V into one
+array halves the number of scattered block DMAs in the decode kernel —
+the dominant cost at small batch (per-DMA issue ~7 us on this part) —
+and halves the scatter count on writes. Each (block, kv) panel is a
+contiguous [H, S, D] tile; tensor parallelism shards axis 2.
 
 Slot convention: flat slot = block_number * block_size + offset.
 Physical block 0 is reserved as the *null block*: padding tokens write
@@ -31,33 +31,33 @@ NULL_BLOCK = 0  # reserved garbage block; pad tokens use slot 0.
 def reshape_and_cache(
     key: jax.Array,            # [T, num_kv_heads, head_dim]
     value: jax.Array,          # [T, num_kv_heads, head_dim]
-    k_cache: jax.Array,        # [NB, H, S, D]
-    v_cache: jax.Array,        # [NB, H, S, D]
+    kv_cache: jax.Array,       # [NB, 2, H, S, D]
     slot_mapping: jax.Array,   # [T] int32 flat slots (pad -> 0)
-) -> Tuple[jax.Array, jax.Array]:
-    """Scatter new K/V into the paged cache; returns updated caches.
+) -> jax.Array:
+    """Scatter new K and V into the fused paged cache in one scatter;
+    returns the updated cache (in place under jit with donation).
 
-    Functional replacement of csrc/cache_kernels.cu:155-272. Under jit
-    with donated caches XLA performs the update in place.
+    Functional replacement of csrc/cache_kernels.cu:155-272.
     """
-    nb, h, s, d = k_cache.shape
+    nb, two, h, s, d = kv_cache.shape
     t = key.shape[0]
     blk = slot_mapping // s
     off = slot_mapping % s
-    # row in the [(NB*H*S), D] flat view, for every (token, head) pair
-    rows = (blk[:, None] * h + jnp.arange(h)[None, :]) * s + off[:, None]
-    rows = rows.reshape(-1)
-    kf = k_cache.reshape(nb * h * s, d)
-    vf = v_cache.reshape(nb * h * s, d)
-    kf = kf.at[rows].set(key.reshape(t * h, d).astype(k_cache.dtype),
-                         mode="drop")
-    vf = vf.at[rows].set(value.reshape(t * h, d).astype(v_cache.dtype),
-                         mode="drop")
-    return kf.reshape(nb, h, s, d), vf.reshape(nb, h, s, d)
+    # row in the [(NB*2*H*S), D] flat view for every (token, kv, head).
+    hh = jnp.arange(h)[None, :]
+    k_rows = (((blk[:, None] * 2 + 0) * h + hh) * s + off[:, None])
+    v_rows = (((blk[:, None] * 2 + 1) * h + hh) * s + off[:, None])
+    rows = jnp.concatenate([k_rows.reshape(-1), v_rows.reshape(-1)])
+    vals = jnp.concatenate([key.reshape(t * h, d),
+                            value.reshape(t * h, d)]).astype(
+                                kv_cache.dtype)
+    flat = kv_cache.reshape(nb * 2 * h * s, d)
+    flat = flat.at[rows].set(vals, mode="drop")
+    return flat.reshape(nb, 2, h, s, d)
 
 
 def copy_blocks(
-    caches: List[jax.Array],    # each [NB, H, S, D]
+    caches: List[jax.Array],    # each [NB, ...]
     src_dst: jax.Array,         # [P, 2] int32 block-number pairs
 ) -> List[jax.Array]:
     """Batched copy-on-write block copies (csrc/cache_kernels.cu:66-153).

@@ -10,7 +10,9 @@ the CUDA kernel's online softmax + v2 partitioning. GQA processes each
 kv-head's whole query group together (attention_kernels.cu:141-142).
 
 Layout contract (ops/cache_ops.py):
-    k_cache, v_cache: [num_blocks, num_kv_heads, block_size, head_dim]
+    kv_cache: [num_blocks, 2, num_kv_heads, block_size, head_dim]
+(K at index 0 / V at index 1 of axis 1 — one contiguous DMA fetches a
+block's K AND V, halving the scattered-DMA count that bounds batch-1).
 
 Measured bottleneck analysis (tunneled v5e, honest host-fetch timing):
 batch-64 runs at the chip's copy roofline (~120 GB/s); batch-1 is bound
@@ -66,14 +68,13 @@ def _decode_kernel(
     context_lens_ref,    # [B] int32 (SMEM)
     # inputs
     q_ref,               # [1, Hkv*Gp, D] VMEM
-    k_hbm,               # [NB, Hkv, S, D] ANY (HBM)
-    v_hbm,               # [NB, Hkv, S, D] ANY (HBM)
+    kv_hbm,              # [NB, 2, Hkv, S, D] ANY (HBM)
     alibi_ref,           # [Hkv*Gp, 1] f32 VMEM or None
     # outputs
     o_ref,               # [1, Hkv*Gp, D] VMEM (fp32)
     # scratch
-    k_buf, v_buf,        # [N_GRP, W, Hkv, S, D] VMEM
-    k_sem, v_sem,        # [N_GRP, W] DMA semaphores
+    kv_buf,              # [N_GRP, W, 2, Hkv, S, D] VMEM
+    kv_sem,              # [N_GRP, W] DMA semaphores
     *,
     block_size: int,
     num_kv_heads: int,
@@ -90,10 +91,8 @@ def _decode_kernel(
 
     def start_block(g_slot, w, j):
         blk = block_tables_ref[b, j]
-        pltpu.make_async_copy(k_hbm.at[blk], k_buf.at[g_slot, w],
-                              k_sem.at[g_slot, w]).start()
-        pltpu.make_async_copy(v_hbm.at[blk], v_buf.at[g_slot, w],
-                              v_sem.at[g_slot, w]).start()
+        pltpu.make_async_copy(kv_hbm.at[blk], kv_buf.at[g_slot, w],
+                              kv_sem.at[g_slot, w]).start()
 
     def start_group(g):
         # Tail block fetches are clamped to the last valid block: the
@@ -107,12 +106,9 @@ def _decode_kernel(
     def wait_group(g):
         g_slot = jax.lax.rem(g, _N_GRP)
         for w in range(_W):
-            pltpu.make_async_copy(k_buf.at[g_slot, w],
-                                  k_buf.at[g_slot, w],
-                                  k_sem.at[g_slot, w]).wait()
-            pltpu.make_async_copy(v_buf.at[g_slot, w],
-                                  v_buf.at[g_slot, w],
-                                  v_sem.at[g_slot, w]).wait()
+            pltpu.make_async_copy(kv_buf.at[g_slot, w],
+                                  kv_buf.at[g_slot, w],
+                                  kv_sem.at[g_slot, w]).wait()
 
     for g0 in range(_N_GRP):
         @pl.when(g0 < num_groups)
@@ -141,7 +137,7 @@ def _decode_kernel(
         g_slot = jax.lax.rem(g, _N_GRP)
         wait_group(g)
 
-        kg = k_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
+        kg = kv_buf[g_slot, :, 0].astype(jnp.bfloat16).reshape(cols, d)
         # One MXU dot across all (block, head, token) columns; the
         # block-diagonal head mask kills cross-head terms.
         s = jax.lax.dot_general(
@@ -162,7 +158,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)                           # [rows, cols]
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        vg = v_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
+        vg = kv_buf[g_slot, :, 1].astype(jnp.bfloat16).reshape(cols, d)
         # Masked p is exactly zero off-head, so one dense PV dot is
         # correct per row. p in bf16 (values in [0,1]) keeps the MXU at
         # full rate, standard flash-attention practice.
@@ -186,10 +182,10 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("gp", "scale", "sliding_window", "interpret"))
-def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
+def _paged_decode(q, kv_cache, block_tables, context_lens,
                   alibi, *, gp, scale, sliding_window, interpret=False):
     b, rows, d = q.shape
-    nb, hkv, s, _ = k_cache.shape
+    nb, _two, hkv, s, _ = kv_cache.shape
 
     kernel = functools.partial(
         _decode_kernel,
@@ -203,22 +199,20 @@ def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
     in_specs = [
         pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
     if alibi is not None:
         in_specs.append(pl.BlockSpec((rows, 1), lambda i, *_: (0, 0)))
-        args = [q, k_cache, v_cache, alibi]
+        args = [q, kv_cache, alibi]
     else:
         # Pallas maps None inputs through; pass a dummy removed below.
-        def kernel_noalibi(bt, cl, q_ref, k_hbm, v_hbm, o_ref,
-                           k_buf, v_buf, k_sem, v_sem):
-            return _decode_kernel(bt, cl, q_ref, k_hbm, v_hbm, None,
-                                  o_ref, k_buf, v_buf, k_sem, v_sem,
+        def kernel_noalibi(bt, cl, q_ref, kv_hbm, o_ref, kv_buf, kv_sem):
+            return _decode_kernel(bt, cl, q_ref, kv_hbm, None,
+                                  o_ref, kv_buf, kv_sem,
                                   block_size=s, num_kv_heads=hkv, gp=gp,
                                   scale=scale,
                                   sliding_window=sliding_window)
         kernel = kernel_noalibi
-        args = [q, k_cache, v_cache]
+        args = [q, kv_cache]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -226,9 +220,7 @@ def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_N_GRP, _W, hkv, s, d), k_cache.dtype),
-            pltpu.VMEM((_N_GRP, _W, hkv, s, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
+            pltpu.VMEM((_N_GRP, _W, 2, hkv, s, d), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((_N_GRP, _W)),
         ],
     )
@@ -242,8 +234,7 @@ def _paged_decode(q, k_cache, v_cache, block_tables, context_lens,
 
 def paged_decode_attention(
     q: jax.Array,               # [B, Hq, D]
-    k_cache: jax.Array,         # [NB, Hkv, S, D]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,        # [NB, 2, Hkv, S, D] fused
     block_tables: jax.Array,    # [B, MB] int32
     context_lens: jax.Array,    # [B] int32
     scale: float,
@@ -252,7 +243,7 @@ def paged_decode_attention(
     interpret: bool = False,
 ) -> jax.Array:
     b, hq, d = q.shape
-    hkv = k_cache.shape[1]
+    hkv = kv_cache.shape[2]
     g = hq // hkv
     # Pad each kv-head's query group to a sublane multiple.
     gp = max(8, -(-g // 8) * 8)
@@ -264,7 +255,7 @@ def paged_decode_attention(
     if alibi_slopes is not None:
         al = jnp.pad(alibi_slopes.reshape(hkv, g), ((0, 0), (0, gp - g)))
         alibi = al.reshape(hkv * gp, 1).astype(jnp.float32)
-    out = _paged_decode(qg.astype(jnp.bfloat16), k_cache, v_cache,
+    out = _paged_decode(qg.astype(jnp.bfloat16), kv_cache,
                         block_tables.astype(jnp.int32),
                         context_lens.astype(jnp.int32), alibi,
                         gp=gp, scale=float(scale),

@@ -121,10 +121,10 @@ def param_pspecs(params: Any, tp_axis: str = TP_AXIS) -> Any:
 
 def kv_cache_pspec(tp_axis: str = TP_AXIS,
                    dp_axis: Optional[str] = None) -> P:
-    """Paged KV caches are [NB, H, S, D]: KV heads shard over tp
-    (config.py:259-267 analogue); with dp, each replica owns its own
+    """Paged KV caches are fused [NB, 2, H, S, D]: KV heads shard over
+    tp (config.py:259-267 analogue); with dp, each replica owns its own
     block pool so NB shards over dp."""
-    return P(dp_axis, tp_axis, None, None)
+    return P(dp_axis, None, tp_axis, None, None)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,8 @@ from vllm_quick_tpu.utils import STR_DTYPE_TO_JNP
 
 logger = init_logger(__name__)
 
-KVCache = Tuple[jax.Array, jax.Array]
+# Fused per-layer cache array [NB, 2, H, S, D] (ops/cache_ops.py).
+KVCache = jax.Array
 
 
 class CacheEngine:
@@ -60,8 +61,8 @@ class CacheEngine:
                                            device=True)
         self.host_cache = self._allocate(self.num_cpu_blocks, device=False)
 
-    def _shape(self, num_blocks: int) -> Tuple[int, int, int, int]:
-        return (num_blocks, self.num_kv_heads, self.block_size,
+    def _shape(self, num_blocks: int) -> Tuple[int, ...]:
+        return (num_blocks, 2, self.num_kv_heads, self.block_size,
                 self.head_size)
 
     def _allocate(self, num_blocks: int, device: bool) -> List[KVCache]:
@@ -83,22 +84,18 @@ class CacheEngine:
                 make = lambda: jax.device_put(
                     jnp.zeros(shape, dtype=self.dtype), cpu)
         for _ in range(self.num_layers):
-            caches.append((make(), make()))
+            caches.append(make())
         return caches
 
     def swap_in(self, src_to_dst: Dict[int, int]) -> None:
         for i in range(self.num_layers):
-            hk, hv = self.host_cache[i]
-            dk, dv = self.device_cache[i]
-            self.device_cache[i] = (swap_blocks(hk, dk, src_to_dst),
-                                    swap_blocks(hv, dv, src_to_dst))
+            self.device_cache[i] = swap_blocks(
+                self.host_cache[i], self.device_cache[i], src_to_dst)
 
     def swap_out(self, src_to_dst: Dict[int, int]) -> None:
         for i in range(self.num_layers):
-            dk, dv = self.device_cache[i]
-            hk, hv = self.host_cache[i]
-            self.host_cache[i] = (swap_blocks(dk, hk, src_to_dst),
-                                  swap_blocks(dv, hv, src_to_dst))
+            self.host_cache[i] = swap_blocks(
+                self.device_cache[i], self.host_cache[i], src_to_dst)
 
     def copy(self, src_to_dsts: Dict[int, List[int]]) -> None:
         pairs = []
@@ -108,12 +105,7 @@ class CacheEngine:
         if not pairs:
             return
         src_dst = jnp.asarray(np.asarray(pairs, dtype=np.int32))
-        flat: List[jax.Array] = []
-        for k, v in self.device_cache:
-            flat.extend((k, v))
-        flat = copy_blocks(flat, src_dst)
-        self.device_cache = [(flat[2 * i], flat[2 * i + 1])
-                             for i in range(self.num_layers)]
+        self.device_cache = copy_blocks(self.device_cache, src_dst)
 
     @staticmethod
     def get_cache_block_size(

@@ -276,8 +276,8 @@ class ModelRunner:
     def run_prepared(
         self,
         payload: Dict[str, Any],
-        kv_caches: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        kv_caches: List[jax.Array],
+    ) -> Tuple[jax.Array, List[jax.Array]]:
         """Execute the jitted step from a (possibly broadcast) payload —
         identical on driver and follower hosts."""
         def opt(name):
@@ -300,8 +300,8 @@ class ModelRunner:
     def execute_model(
         self,
         metas: List[SequenceGroupMetadata],
-        kv_caches: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[Optional[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
+        kv_caches: List[jax.Array],
+    ) -> Tuple[Optional[SamplerOutput], List[jax.Array]]:
         if not metas:
             return None, kv_caches
         payload = self.prepare_step_inputs(metas)
@@ -311,7 +311,7 @@ class ModelRunner:
         return sampler_output, kv_caches
 
     def execute_follower_step(
-        self, kv_caches: List[Tuple[jax.Array, jax.Array]]):
+        self, kv_caches: List[jax.Array]):
         """Follower hosts: receive the driver's payload and run the same
         jitted step (reference worker.py:210-226 follower path)."""
         payload = broadcast_step_inputs(None)
