@@ -1,0 +1,36 @@
+"""Streaming dense small-M matmul (ops/dense_matmul.py) vs jnp.dot.
+Used for the decode-time lm_head (sampler.py:38-48 analogue)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_quick_tpu.ops.dense_matmul import dense_matmul_small_m
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (1, 256, 512),       # decode matvec
+    (8, 512, 384),       # n not a lane multiple -> padded
+    (3, 300, 1000),      # everything ragged
+    (64, 256, 256),      # kernel ceiling
+])
+def test_matches_jnp(rng, m, k, n):
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.bfloat16)
+    got = np.asarray(dense_matmul_small_m(x, w, use_kernel=True,
+                                          interpret=True), np.float32)
+    want = np.asarray(jnp.dot(x, w, preferred_element_type=jnp.float32),
+                      np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_leading_dims_and_fallback(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 128)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.1, jnp.bfloat16)
+    got = np.asarray(dense_matmul_small_m(x, w, use_kernel=True,
+                                          interpret=True), np.float32)
+    want = np.asarray(jnp.einsum("blk,kn->bln", x, w), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    # Above the token ceiling the wrapper must fall back to jnp.dot.
+    xl = jnp.zeros((128, 128), jnp.bfloat16)
+    out = dense_matmul_small_m(xl, w)
+    assert out.shape == (128, 256)

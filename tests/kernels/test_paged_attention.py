@@ -90,6 +90,29 @@ def test_pallas_matches_ref(rng, b, hq, hkv, d, bs, mb):
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
+def test_pallas_contiguous_block_tables(rng):
+    """Sequentially allocated block tables take the kernel's fused
+    one-DMA-per-window fast path; result must match the scattered path
+    (which the permuted make_case tables exercise)."""
+    b, hq, hkv, d, bs, mb = 2, 8, 8, 128, 16, 8
+    nb = b * mb + 1
+    kv = jnp.asarray(rng.standard_normal((nb, 2, hkv, bs, d)),
+                     jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    bt = jnp.asarray(
+        np.arange(1, 1 + b * mb, dtype=np.int32).reshape(b, mb))
+    # One full-window context and one mid-window tail.
+    cl = jnp.asarray([bs * mb, bs * mb - 21], jnp.int32)
+    scale = d**-0.5
+    got = np.asarray(
+        paged_decode_attention(q, kv, bt, cl, scale, interpret=True),
+        dtype=np.float32)
+    want = np.asarray(
+        paged_decode_attention_ref(q, kv[:, 0], kv[:, 1], bt, cl, scale),
+        dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_pallas_sliding_window_and_alibi(rng):
     b, hq, hkv, d, bs, mb = 2, 8, 4, 128, 16, 4
     q, kv, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,

@@ -39,9 +39,13 @@ def unembed(hidden: jax.Array, lm_head_weight: jax.Array,
             ctx: ParallelContext = ParallelContext(),
             bias: Optional[jax.Array] = None) -> jax.Array:
     """Logits = hidden @ W_local [E, V_local]; gathered across TP ranks
-    (the reference's driver-side gather, sampler.py:38-48)."""
-    logits = jnp.dot(hidden, lm_head_weight,
-                     preferred_element_type=jnp.float32)
+    (the reference's driver-side gather, sampler.py:38-48). Decode-time
+    M is tiny, so the matmul goes through the streaming Pallas kernel
+    (ops/dense_matmul.py) — XLA's batch-1 matvec runs ~6x under the
+    HBM copy rate on this part."""
+    from vllm_quick_tpu.ops.dense_matmul import dense_matmul_small_m
+    logits = dense_matmul_small_m(hidden, lm_head_weight,
+                                  out_dtype=jnp.float32)
     if bias is not None:
         logits = logits + bias
     logits = ctx.tp_all_gather(logits, axis=-1)

@@ -39,21 +39,20 @@ def reshape_and_cache(
 
     Functional replacement of csrc/cache_kernels.cu:155-272.
     """
-    nb, two, h, s, d = kv_cache.shape
-    t = key.shape[0]
+    s = kv_cache.shape[3]
     blk = slot_mapping // s
     off = slot_mapping % s
-    # row in the [(NB*2*H*S), D] flat view for every (token, kv, head).
-    hh = jnp.arange(h)[None, :]
-    k_rows = (((blk[:, None] * 2 + 0) * h + hh) * s + off[:, None])
-    v_rows = (((blk[:, None] * 2 + 1) * h + hh) * s + off[:, None])
-    rows = jnp.concatenate([k_rows.reshape(-1), v_rows.reshape(-1)])
-    vals = jnp.concatenate([key.reshape(t * h, d),
-                            value.reshape(t * h, d)]).astype(
-                                kv_cache.dtype)
-    flat = kv_cache.reshape(nb * 2 * h * s, d)
-    flat = flat.at[rows].set(vals, mode="drop")
-    return flat.reshape(nb, 2, h, s, d)
+    # Scatter directly on the 5D array: flattening it first (reshape to
+    # [NB*2*H*S, D]) makes XLA physically relayout the whole cache twice
+    # per call (~70 us/layer measured) because the tiled 5D and 2D
+    # layouts differ. Advanced indexing on (block, kv, offset) with the
+    # head/dim axes as the update window lowers to a pure scatter.
+    dtype = kv_cache.dtype
+    kv_cache = kv_cache.at[blk, 0, :, off].set(key.astype(dtype),
+                                               mode="drop")
+    kv_cache = kv_cache.at[blk, 1, :, off].set(value.astype(dtype),
+                                               mode="drop")
+    return kv_cache
 
 
 def copy_blocks(

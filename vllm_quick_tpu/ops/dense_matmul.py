@@ -1,0 +1,133 @@
+"""Streaming dense bf16 matmul for tiny M (decode-time lm_head).
+
+XLA's stock [1, K] @ [K, N] matvec on this part runs at ~100 GB/s —
+far under the ~580 GB/s a Pallas streaming kernel sustains — because the
+batch-1 GEMM doesn't pipeline HBM reads. This kernel reuses the quant
+matmul's structure (ops/quant_matmul.py): x lives whole in VMEM, the
+weight streams through the implicit double-buffered pipeline over a
+(N tiles, K tiles) grid with a resident fp32 accumulator, so the weight
+is read exactly once at copy rate.
+
+Reference parity: the lm-head matmul inside the sampler
+(vllm/model_executor/layers/sampler.py:38-48) — there it is a cuBLAS
+GEMM; on TPU the decode shape needs this kernel instead.
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Weight VMEM tile budget in bytes (doubled by pipeline buffering).
+_TILE_BUDGET = 3 * 1024 * 1024 // 2
+# The streaming kernel only wins in the memory-bound small-M regime.
+DENSE_KERNEL_MAX_TOKENS = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _choose_tiles(kp: int, np_: int, itemsize: int) -> tuple:
+    """(tile_k, tile_n) minimizing grid steps under the VMEM budget;
+    tiles must divide the padded dims and respect the (8, 128) rule."""
+    best = None
+    for tn in (1024, 512, 256, 128):
+        if np_ % tn != 0:
+            continue
+        for tk in (4096, 2048, 1024, 512, 256, 128):
+            if kp % tk != 0:
+                continue
+            if tk * tn * itemsize > _TILE_BUDGET:
+                continue
+            steps = (np_ // tn) * (kp // tk)
+            cand = (steps, -(tk * tn), tk, tn)
+            if best is None or cand < best:
+                best = cand
+    if best is None:
+        return kp, np_
+    return best[2], best[3]
+
+
+def _dense_kernel(x_ref, w_ref, o_ref, acc_ref):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _dense_small_m_2d(x: jax.Array, w: jax.Array, *,
+                      out_dtype=jnp.float32,
+                      interpret: bool = False) -> jax.Array:
+    """x: [Mp, Kp] (Mp mult of 8, Kp of 128), w: [Kp, Np] -> [Mp, Np]."""
+    mp, kp = x.shape
+    np_ = w.shape[1]
+    tile_k, tile_n = _choose_tiles(kp, np_, w.dtype.itemsize)
+    grid = (np_ // tile_n, kp // tile_k)
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (kp * np_ + mp * kp + mp * np_) * 2
+    return pl.pallas_call(
+        _dense_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mp, tile_k), lambda j, k: (0, k)),
+            pl.BlockSpec((tile_k, tile_n), lambda j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((mp, tile_n), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(x, w)
+
+
+def dense_matmul_small_m(
+    x: jax.Array,                # [..., K]
+    w: jax.Array,                # [K, N]
+    *,
+    out_dtype=jnp.float32,
+    use_kernel: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """y = x @ w with fp32 accumulation; streams w once for tiny M.
+
+    Falls back to jnp.dot off-TPU or above DENSE_KERNEL_MAX_TOKENS.
+    """
+    from vllm_quick_tpu.ops.quant_matmul import default_backend_is_tpu
+
+    *lead, k = x.shape
+    n = w.shape[1]
+    m = 1
+    for d in lead:
+        m *= d
+    if use_kernel is None:
+        use_kernel = (m <= DENSE_KERNEL_MAX_TOKENS
+                      and default_backend_is_tpu())
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+    if not use_kernel:
+        return jnp.dot(x, w, preferred_element_type=out_dtype)
+
+    mp = max(8, _round_up(m, 8))
+    kp = _round_up(k, 256)
+    np_ = _round_up(n, 128)
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    if (mp, kp) != (m, k):
+        x2 = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    y = _dense_small_m_2d(x2, w, out_dtype=out_dtype, interpret=interpret)
+    return y[:m, :n].reshape(*lead, n)

@@ -94,21 +94,54 @@ def _decode_kernel(
         pltpu.make_async_copy(kv_hbm.at[blk], kv_buf.at[g_slot, w],
                               kv_sem.at[g_slot, w]).start()
 
+    def group_is_contiguous(g):
+        # True when the group's _W block-table entries are physically
+        # consecutive and fully in range — the common case under the
+        # sequential block allocator. Scalar SMEM reads; cheap.
+        first = block_tables_ref[b, g * _W]
+        ok = (g + 1) * _W <= num_blocks
+        for w in range(1, _W):
+            ok = jnp.logical_and(
+                ok, block_tables_ref[b, g * _W + w] == first + w)
+        return ok
+
     def start_group(g):
-        # Tail block fetches are clamped to the last valid block: the
-        # buffer stays finite (0 * NaN would poison the PV matmul);
-        # the position mask discards the duplicates.
         g_slot = jax.lax.rem(g, _N_GRP)
-        for w in range(_W):
-            j = jnp.minimum(g * _W + w, num_blocks - 1)
-            start_block(g_slot, w, j)
+        contig = group_is_contiguous(g)
+
+        @pl.when(contig)
+        def _():
+            # DMA issue (~2-7 us each) bounds batch-1 decode, so fuse
+            # the whole window into ONE contiguous _W-block copy.
+            first = block_tables_ref[b, g * _W]
+            pltpu.make_async_copy(kv_hbm.at[pl.ds(first, _W)],
+                                  kv_buf.at[g_slot],
+                                  kv_sem.at[g_slot, 0]).start()
+
+        @pl.when(jnp.logical_not(contig))
+        def _():
+            # Scattered/tail path. Tail fetches are clamped to the last
+            # valid block: the buffer stays finite (0 * NaN would poison
+            # the PV matmul); the position mask discards the duplicates.
+            for w in range(_W):
+                j = jnp.minimum(g * _W + w, num_blocks - 1)
+                start_block(g_slot, w, j)
 
     def wait_group(g):
         g_slot = jax.lax.rem(g, _N_GRP)
-        for w in range(_W):
-            pltpu.make_async_copy(kv_buf.at[g_slot, w],
-                                  kv_buf.at[g_slot, w],
-                                  kv_sem.at[g_slot, w]).wait()
+        contig = group_is_contiguous(g)
+
+        @pl.when(contig)
+        def _():
+            pltpu.make_async_copy(kv_buf.at[g_slot], kv_buf.at[g_slot],
+                                  kv_sem.at[g_slot, 0]).wait()
+
+        @pl.when(jnp.logical_not(contig))
+        def _():
+            for w in range(_W):
+                pltpu.make_async_copy(kv_buf.at[g_slot, w],
+                                      kv_buf.at[g_slot, w],
+                                      kv_sem.at[g_slot, w]).wait()
 
     for g0 in range(_N_GRP):
         @pl.when(g0 < num_groups)
@@ -245,8 +278,13 @@ def paged_decode_attention(
     b, hq, d = q.shape
     hkv = kv_cache.shape[2]
     g = hq // hkv
-    # Pad each kv-head's query group to a sublane multiple.
-    gp = max(8, -(-g // 8) * 8)
+    # Pad the per-kv-head query group only as far as needed for the
+    # total row count (hkv * gp) to be a sublane multiple: the softmax
+    # VPU work scales with rows, and over-padding (e.g. 8x for MHA's
+    # g=1) made compute, not DMA, the batch-1 bottleneck.
+    gp = g
+    while (hkv * gp) % 8 != 0:
+        gp += 1
     qg = q.reshape(b, hkv, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
