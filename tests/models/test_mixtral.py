@@ -59,6 +59,43 @@ def test_mixtral_matches_hf(tiny_mixtral):
     assert ours_new == hf_new
 
 
+def test_mixtral_quant_close_to_dense(tiny_mixtral):
+    """Per-expert-quantized Mixtral (models/mixtral_quant.py — the
+    variant the loader swaps in for AWQ/GPTQ checkpoints, reference
+    model_loader.py:27-29) must track the dense model within INT4
+    quantization error and keep the same greedy argmax."""
+    import numpy as np
+    d, _, cfg = tiny_mixtral
+    mc = ModelConfig(model=d, dtype="float32", hf_config=cfg)
+    model, params = get_model(mc)
+    dense_logits, _ = run_prefill(model, params, PROMPT)
+
+    from vllm_quick_tpu.model_executor.models.mixtral_quant import (
+        MixtralQuantForCausalLM)
+    from vllm_quick_tpu.model_executor.param_builder import ParamBuilder
+    from vllm_quick_tpu.model_executor.weight_utils import collect_weights
+    weights = collect_weights(d, "auto")
+    qmodel = MixtralQuantForCausalLM(cfg, dtype="float32")
+    qparams = qmodel.load_params(weights)
+    # The fp32 checkpoint loads dense; quantize the expert + attention
+    # linears on the fly to exercise the quantized execution path.
+    pb = ParamBuilder(weights, None, "float32")
+    for i, layer in enumerate(qparams["layers"]):
+        moe = f"model.layers.{i}.block_sparse_moe"
+        for e, ew in enumerate(layer["experts"]):
+            ew["w13"] = pb.quantize_dense(
+                [f"{moe}.experts.{e}.w1", f"{moe}.experts.{e}.w3"],
+                shard="col", group_size=64)
+            ew["w2"] = pb.quantize_dense([f"{moe}.experts.{e}.w2"],
+                                         shard="row", group_size=64)
+    quant_logits, _ = run_prefill(qmodel, qparams, PROMPT)
+    last_d = dense_logits[-1]
+    last_q = quant_logits[-1]
+    assert int(np.argmax(last_d)) == int(np.argmax(last_q))
+    corr = np.corrcoef(last_d, last_q)[0, 1]
+    assert corr > 0.99, corr
+
+
 @pytest.mark.parametrize("tp,ep", [(2, 1), (1, 2), (2, 2)])
 def test_mixtral_parallel_matches_single(tiny_mixtral, tp, ep):
     import jax.numpy as jnp

@@ -45,6 +45,12 @@ def get_model(
     # (reference: config.py _verify_quantization + weight_utils.py:86).
     quant: Optional[QuantCheckpointConfig] = QuantCheckpointConfig.\
         from_model_dir(model_config.model, model_config.quantization)
+    # Quantized Mixtral routes to the per-expert-linear variant
+    # (reference hack: model_loader.py:27-29 -> mixtral_quant).
+    if quant is not None and cls.__name__ == "MixtralForCausalLM":
+        from vllm_quick_tpu.model_executor.models.mixtral_quant import (
+            MixtralQuantForCausalLM)
+        cls = MixtralQuantForCausalLM
     if quant is not None and model_config.quantization is not None \
             and quant.method != model_config.quantization:
         raise ValueError(
