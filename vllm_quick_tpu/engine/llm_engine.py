@@ -8,6 +8,7 @@ no driver/follower broadcast — one SPMD process per host drives all
 local chips through jitted steps.
 """
 import copy
+import os
 import time
 from collections import defaultdict
 from typing import Any, Iterable, List, Optional, Tuple, Union
@@ -54,6 +55,13 @@ class LLMEngine:
             model_config.quantization, parallel_config.tensor_parallel_size,
             model_config.max_model_len, cache_config.cache_dtype,
             model_config.seed)
+        # Optional jax.profiler endpoint (SURVEY §5: trace/profiling):
+        # point TensorBoard/xprof at this port for live device traces.
+        port = os.environ.get("VLLM_TPU_PROFILER_PORT")
+        if port:
+            import jax
+            jax.profiler.start_server(int(port))
+            logger.info("jax.profiler server listening on port %s", port)
         self.model_config = model_config
         self.cache_config = cache_config
         self.parallel_config = parallel_config

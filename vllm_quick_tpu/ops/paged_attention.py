@@ -72,9 +72,14 @@ def _decode_kernel(
     alibi_ref,           # [Hkv*Gp, 1] f32 VMEM or None
     # outputs
     o_ref,               # [1, Hkv*Gp, D] VMEM (fp32)
-    # scratch
-    kv_buf,              # [N_GRP, W, 2, Hkv, S, D] VMEM
-    kv_sem,              # [N_GRP, W] DMA semaphores
+    # scratch — K and V buffered separately so compute reads are
+    # contiguous (a strided kv_buf[:, 0] read forces a VMEM relayout
+    # copy); the HBM side stays the fused [NB, 2, ...] layout and each
+    # buffer fills from a strided view of it.
+    k_buf,               # [N_GRP, W, Hkv, S, D] VMEM
+    v_buf,               # [N_GRP, W, Hkv, S, D] VMEM
+    k_sem,               # [N_GRP, W] DMA semaphores
+    v_sem,               # [N_GRP, W] DMA semaphores
     *,
     block_size: int,
     num_kv_heads: int,
@@ -91,8 +96,10 @@ def _decode_kernel(
 
     def start_block(g_slot, w, j):
         blk = block_tables_ref[b, j]
-        pltpu.make_async_copy(kv_hbm.at[blk], kv_buf.at[g_slot, w],
-                              kv_sem.at[g_slot, w]).start()
+        pltpu.make_async_copy(kv_hbm.at[blk, 0], k_buf.at[g_slot, w],
+                              k_sem.at[g_slot, w]).start()
+        pltpu.make_async_copy(kv_hbm.at[blk, 1], v_buf.at[g_slot, w],
+                              v_sem.at[g_slot, w]).start()
 
     def group_is_contiguous(g):
         # True when the group's _W block-table entries are physically
@@ -111,12 +118,16 @@ def _decode_kernel(
 
         @pl.when(contig)
         def _():
-            # DMA issue (~2-7 us each) bounds batch-1 decode, so fuse
-            # the whole window into ONE contiguous _W-block copy.
+            # DMA issue (~2-7 us each) bounds batch-1 decode, so fetch
+            # the whole window with TWO strided copies (all K planes,
+            # all V planes) instead of per-block copies.
             first = block_tables_ref[b, g * _W]
-            pltpu.make_async_copy(kv_hbm.at[pl.ds(first, _W)],
-                                  kv_buf.at[g_slot],
-                                  kv_sem.at[g_slot, 0]).start()
+            pltpu.make_async_copy(kv_hbm.at[pl.ds(first, _W), 0],
+                                  k_buf.at[g_slot],
+                                  k_sem.at[g_slot, 0]).start()
+            pltpu.make_async_copy(kv_hbm.at[pl.ds(first, _W), 1],
+                                  v_buf.at[g_slot],
+                                  v_sem.at[g_slot, 0]).start()
 
         @pl.when(jnp.logical_not(contig))
         def _():
@@ -133,15 +144,20 @@ def _decode_kernel(
 
         @pl.when(contig)
         def _():
-            pltpu.make_async_copy(kv_buf.at[g_slot], kv_buf.at[g_slot],
-                                  kv_sem.at[g_slot, 0]).wait()
+            pltpu.make_async_copy(k_buf.at[g_slot], k_buf.at[g_slot],
+                                  k_sem.at[g_slot, 0]).wait()
+            pltpu.make_async_copy(v_buf.at[g_slot], v_buf.at[g_slot],
+                                  v_sem.at[g_slot, 0]).wait()
 
         @pl.when(jnp.logical_not(contig))
         def _():
             for w in range(_W):
-                pltpu.make_async_copy(kv_buf.at[g_slot, w],
-                                      kv_buf.at[g_slot, w],
-                                      kv_sem.at[g_slot, w]).wait()
+                pltpu.make_async_copy(k_buf.at[g_slot, w],
+                                      k_buf.at[g_slot, w],
+                                      k_sem.at[g_slot, w]).wait()
+                pltpu.make_async_copy(v_buf.at[g_slot, w],
+                                      v_buf.at[g_slot, w],
+                                      v_sem.at[g_slot, w]).wait()
 
     for g0 in range(_N_GRP):
         @pl.when(g0 < num_groups)
@@ -170,7 +186,7 @@ def _decode_kernel(
         g_slot = jax.lax.rem(g, _N_GRP)
         wait_group(g)
 
-        kg = kv_buf[g_slot, :, 0].astype(jnp.bfloat16).reshape(cols, d)
+        kg = k_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
         # One MXU dot across all (block, head, token) columns; the
         # block-diagonal head mask kills cross-head terms.
         s = jax.lax.dot_general(
@@ -191,7 +207,7 @@ def _decode_kernel(
         p = jnp.exp(s - m_new)                           # [rows, cols]
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        vg = kv_buf[g_slot, :, 1].astype(jnp.bfloat16).reshape(cols, d)
+        vg = v_buf[g_slot].astype(jnp.bfloat16).reshape(cols, d)
         # Masked p is exactly zero off-head, so one dense PV dot is
         # correct per row. p in bf16 (values in [0,1]) keeps the MXU at
         # full rate, standard flash-attention practice.
@@ -238,9 +254,10 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
         args = [q, kv_cache, alibi]
     else:
         # Pallas maps None inputs through; pass a dummy removed below.
-        def kernel_noalibi(bt, cl, q_ref, kv_hbm, o_ref, kv_buf, kv_sem):
+        def kernel_noalibi(bt, cl, q_ref, kv_hbm, o_ref,
+                           k_buf, v_buf, k_sem, v_sem):
             return _decode_kernel(bt, cl, q_ref, kv_hbm, None,
-                                  o_ref, kv_buf, kv_sem,
+                                  o_ref, k_buf, v_buf, k_sem, v_sem,
                                   block_size=s, num_kv_heads=hkv, gp=gp,
                                   scale=scale,
                                   sliding_window=sliding_window)
@@ -253,7 +270,9 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_N_GRP, _W, 2, hkv, s, d), kv_cache.dtype),
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
             pltpu.SemaphoreType.DMA((_N_GRP, _W)),
         ],
     )

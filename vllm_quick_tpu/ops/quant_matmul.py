@@ -36,7 +36,7 @@ from vllm_quick_tpu.ops.quant_formats import (EFF_GROUP, SUPERBLOCK,
 # fused kernel is tuned for the HBM-bound decode regime).
 FUSED_KERNEL_MAX_TOKENS = 64
 # Packed-weight VMEM tile budget (bytes); doubled by pipeline buffering.
-_TILE_BUDGET = 3 * 1024 * 1024 // 2
+_TILE_BUDGET = 3 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
