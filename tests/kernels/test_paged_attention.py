@@ -162,6 +162,36 @@ def test_prefill_then_decode_consistency(rng):
     np.testing.assert_allclose(got, out, rtol=2e-3, atol=2e-3)
 
 
+def test_reshape_and_cache_prefill_matches_flat(rng):
+    """Block-granular prefill write must produce the same cache as the
+    per-token path for block-aligned prompts (incl. padded tails)."""
+    from vllm_quick_tpu.ops.cache_ops import reshape_and_cache_prefill
+    b, l, h, s, d, nb = 2, 48, 4, 16, 64, 12
+    key = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    val = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    # seq 0: full 48 tokens over blocks [3, 7, 2]; seq 1: 21 tokens over
+    # blocks [5, 9] with pad slots 0 afterwards.
+    blocks0, blocks1 = [3, 7, 2], [5, 9, 0]
+    slots = np.zeros((b, l), np.int32)
+    for t in range(48):
+        slots[0, t] = blocks0[t // s] * s + t % s
+    for t in range(21):
+        slots[1, t] = blocks1[t // s] * s + t % s
+    slots = jnp.asarray(slots)
+    cache0 = jnp.zeros((nb, 2, h, s, d), jnp.float32)
+    got = reshape_and_cache_prefill(key, val, cache0, slots)
+    want = reshape_and_cache(key.reshape(-1, h, d), val.reshape(-1, h, d),
+                             cache0, slots.reshape(-1))
+    # Compare only real-token positions: the block path may write
+    # garbage to tail positions of the last block / the null block.
+    for seq, blocks, n in ((0, blocks0, 48), (1, blocks1, 21)):
+        for t in range(n):
+            blk, off = blocks[t // s], t % s
+            np.testing.assert_array_equal(
+                np.asarray(got[blk, :, :, off]),
+                np.asarray(want[blk, :, :, off]))
+
+
 def test_prefill_attention_masks_pads(rng):
     b, l, hq, hkv, d = 2, 12, 4, 2, 64
     q = jnp.asarray(rng.standard_normal((b, l, hq, d)), jnp.float32)

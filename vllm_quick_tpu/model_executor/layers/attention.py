@@ -14,7 +14,8 @@ from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
 from vllm_quick_tpu.ops.attention import (paged_decode_attention_ref,
                                           prefill_attention,
                                           prefix_prefill_attention)
-from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
+from vllm_quick_tpu.ops.cache_ops import (reshape_and_cache,
+                                          reshape_and_cache_prefill)
 from vllm_quick_tpu.ops.paged_attention import (paged_decode_attention,
                                                 use_pallas_attention)
 
@@ -56,10 +57,15 @@ class Attention:
         v = value.reshape(*lead, self.num_kv_heads, self.head_size)
 
         # Write this step's K/V to the paged cache first (attention.py:129).
-        flat_k = k.reshape(-1, self.num_kv_heads, self.head_size)
-        flat_v = v.reshape(-1, self.num_kv_heads, self.head_size)
-        kv_cache = reshape_and_cache(flat_k, flat_v, kv_cache,
-                                     meta.slot_mapping.reshape(-1))
+        if meta.is_prompt and k.ndim == 4 and meta.slot_mapping.ndim == 2:
+            # Block-granular prompt write (ops/cache_ops.py).
+            kv_cache = reshape_and_cache_prefill(k, v, kv_cache,
+                                                 meta.slot_mapping)
+        else:
+            flat_k = k.reshape(-1, self.num_kv_heads, self.head_size)
+            flat_v = v.reshape(-1, self.num_kv_heads, self.head_size)
+            kv_cache = reshape_and_cache(flat_k, flat_v, kv_cache,
+                                         meta.slot_mapping.reshape(-1))
 
         if meta.is_prompt:
             if meta.block_tables is not None:

@@ -40,19 +40,98 @@ def reshape_and_cache(
     Functional replacement of csrc/cache_kernels.cu:155-272.
     """
     s = kv_cache.shape[3]
+    t, h, d = key.shape
     blk = slot_mapping // s
     off = slot_mapping % s
-    # Scatter directly on the 5D array: flattening it first (reshape to
-    # [NB*2*H*S, D]) makes XLA physically relayout the whole cache twice
-    # per call (~70 us/layer measured) because the tiled 5D and 2D
-    # layouts differ. Advanced indexing on (block, kv, offset) with the
-    # head/dim axes as the update window lowers to a pure scatter.
+    # Per-token dynamic_update_slice, NOT an XLA scatter: a multi-index
+    # scatter on a donated buffer copies the ENTIRE block pool first
+    # (measured ~52 ms/step on a 8.6 GB pool — and a flat-view scatter
+    # additionally relayouts the tiled 5D array). dus windows
+    # [1, 1, H, 1, D] are rectangular, so XLA updates strictly in place.
+    # Pad tokens carry slot 0 and land harmlessly in the null block.
     dtype = kv_cache.dtype
-    kv_cache = kv_cache.at[blk, 0, :, off].set(key.astype(dtype),
-                                               mode="drop")
-    kv_cache = kv_cache.at[blk, 1, :, off].set(value.astype(dtype),
-                                               mode="drop")
-    return kv_cache
+    k6 = key.astype(dtype)[:, None, None, :, None, :]    # [T,1,1,H,1,D]
+    v6 = value.astype(dtype)[:, None, None, :, None, :]
+
+    def write(cache, i):
+        cache = jax.lax.dynamic_update_slice(
+            cache, k6[i], (blk[i], 0, 0, off[i], 0))
+        return jax.lax.dynamic_update_slice(
+            cache, v6[i], (blk[i], 1, 0, off[i], 0))
+
+    if t <= 64:
+        # Decode-sized writes: unrolled dus chain (no loop overhead).
+        for i in range(t):
+            kv_cache = write(kv_cache, i)
+        return kv_cache
+    # Prefill-sized writes: bounded graph via an in-place carried loop,
+    # 8 tokens per iteration to amortize loop overhead.
+    unroll = 8
+    tp = -(-t // unroll) * unroll
+    if tp != t:
+        # Repeat the last token's write (idempotent) to fill the chunk.
+        pad = tp - t
+        k6 = jnp.concatenate([k6, jnp.repeat(k6[-1:], pad, 0)])
+        v6 = jnp.concatenate([v6, jnp.repeat(v6[-1:], pad, 0)])
+        blk = jnp.concatenate([blk, jnp.repeat(blk[-1:], pad)])
+        off = jnp.concatenate([off, jnp.repeat(off[-1:], pad)])
+
+    def chunk(c, cache):
+        for u in range(unroll):
+            cache = write(cache, c * unroll + u)
+        return cache
+
+    return jax.lax.fori_loop(0, tp // unroll,
+                             lambda c, cache: chunk(c, cache), kv_cache)
+
+
+def reshape_and_cache_prefill(
+    key: jax.Array,            # [B, L, H, D] (L a multiple of S)
+    value: jax.Array,          # [B, L, H, D]
+    kv_cache: jax.Array,       # [NB, 2, H, S, D]
+    slot_mapping: jax.Array,   # [B, L] int32 (pad -> 0)
+) -> jax.Array:
+    """Block-granular prefill KV write: one dynamic_update_slice per
+    (sequence, block) instead of per token (~16x fewer updates).
+
+    Relies on the engine invariant that prefill writes start block-
+    aligned (fresh prompts start at offset 0; prefix caching truncates
+    prefixes to block multiples, reference prefix.py:~95), so every
+    S-token chunk lands wholly in one physical block. Chunks past the
+    prompt length carry pad slot 0 and land in the null block; garbage
+    written to the tail positions of the last real block is safe
+    because those positions are only read after a later decode step
+    overwrites them.
+    """
+    nb, _two, h, s, d = kv_cache.shape
+    b, l = slot_mapping.shape
+    dtype = kv_cache.dtype
+    if l % s != 0:
+        return reshape_and_cache(key.reshape(-1, h, d),
+                                 value.reshape(-1, h, d), kv_cache,
+                                 slot_mapping.reshape(-1))
+    nchunk = b * (l // s)
+    # [B, L//S, S, H, D] -> [B*L//S, H, S, D] chunk blocks.
+    kc = key.astype(dtype).reshape(b, l // s, s, h, d).swapaxes(2, 3)
+    vc = value.astype(dtype).reshape(b, l // s, s, h, d).swapaxes(2, 3)
+    kc = kc.reshape(nchunk, 1, h, s, d)
+    vc = vc.reshape(nchunk, 1, h, s, d)
+    target = (slot_mapping[:, ::s] // s).reshape(nchunk)
+
+    def write(i, cache):
+        # [1, 1, h, s, d] chunk blocks (rank matches the cache).
+        kb = jax.lax.dynamic_slice_in_dim(kc, i, 1, axis=0)
+        vb = jax.lax.dynamic_slice_in_dim(vc, i, 1, axis=0)
+        cache = jax.lax.dynamic_update_slice(
+            cache, kb, (target[i], 0, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            cache, vb, (target[i], 1, 0, 0, 0))
+
+    if nchunk <= 32:
+        for i in range(nchunk):
+            kv_cache = write(i, kv_cache)
+        return kv_cache
+    return jax.lax.fori_loop(0, nchunk, write, kv_cache)
 
 
 def copy_blocks(

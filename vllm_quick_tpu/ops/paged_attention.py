@@ -58,8 +58,8 @@ def use_pallas_attention(head_size: int = 128,
 # -inf (and contribute exact zeros through the PV matmul), trading
 # hkv-fold MXU FLOP inflation (still far below the DMA cost) for a
 # ~10x reduction in per-iteration op count, the measured bottleneck.
-_W = 4        # KV blocks per compute group
-_N_GRP = 4    # groups in flight (W * N_GRP block DMAs outstanding)
+_W = int(os.environ.get("VLLM_TPU_ATTN_W", "4"))       # blocks/group
+_N_GRP = int(os.environ.get("VLLM_TPU_ATTN_NGRP", "4"))  # groups in flight
 
 
 def _decode_kernel(
@@ -228,6 +228,133 @@ def _decode_kernel(
     o_ref[0] = acc / jnp.maximum(l, 1e-20)
 
 
+def _decode_kernel_pipelined(
+    block_tables_ref,    # [B, MB] int32 (SMEM)
+    context_lens_ref,    # [B] int32 (SMEM)
+    q_ref,               # [1, Hkv*Gp, D] VMEM
+    kv_ref,              # [1, 2, Hkv, S, D] VMEM — pipelined KV block
+    alibi_ref,           # [Hkv*Gp, 1] f32 VMEM or None
+    o_ref,               # [1, Hkv*Gp, D] VMEM (fp32)
+    m_ref, l_ref, acc_ref,   # online-softmax state, persists over j
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    gp: int,
+    scale: float,
+    sliding_window: Optional[int],
+):
+    """Pipeline-fed variant: the grid is (B, MB) and each step's KV
+    block arrives through the Pallas input pipeline, whose HBM index is
+    looked up from the scalar-prefetched block table — the same
+    double-buffered fast path the quant GEMM streams its weights on,
+    instead of kernel-issued manual DMAs."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    s_blk = block_size
+    h = num_kv_heads
+    ctx = context_lens_ref[b]
+    num_blocks = jax.lax.div(ctx + s_blk - 1, s_blk)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < num_blocks)
+    def _compute():
+        rows = h * gp
+        d = q_ref.shape[-1]
+        cols = h * s_blk
+        q2 = q_ref[0]                                    # [rows, D]
+        kg = kv_ref[0, 0].astype(jnp.bfloat16).reshape(cols, d)
+        s = jax.lax.dot_general(
+            q2, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [rows, cols]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+        col_head = jax.lax.div(col, s_blk)
+        col_off = jax.lax.rem(col, s_blk)
+        row_head = jax.lax.div(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), gp)
+        pos = j * s_blk + col_off
+        mask = jnp.logical_and(row_head == col_head, pos < ctx)
+        if sliding_window is not None:
+            mask = jnp.logical_and(mask, pos >= ctx - sliding_window)
+        if alibi_ref is not None:
+            s = s + alibi_ref[:, :] * (pos - (ctx - 1)).astype(jnp.float32)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m = m_ref[:]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        vg = kv_ref[0, 1].astype(jnp.bfloat16).reshape(cols, d)
+        pv = jnp.dot(p.astype(jnp.bfloat16), vg,
+                     preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-20)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gp", "scale", "sliding_window", "interpret"))
+def _paged_decode_pipelined(q, kv_cache, block_tables, context_lens,
+                            alibi, *, gp, scale, sliding_window,
+                            interpret=False):
+    b, rows, d = q.shape
+    nb, _two, hkv, s, _ = kv_cache.shape
+    mb = block_tables.shape[1]
+
+    kernel = functools.partial(
+        _decode_kernel_pipelined,
+        block_size=s, num_kv_heads=hkv, gp=gp, scale=scale,
+        sliding_window=sliding_window)
+
+    def kv_index(i, j, bt_ref, cl_ref):
+        # Data-dependent pipeline index: physical block for (seq, step).
+        return (bt_ref[i, j], 0, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, rows, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 2, hkv, s, d), kv_index),
+    ]
+    if alibi is not None:
+        in_specs.append(pl.BlockSpec((rows, 1), lambda i, j, *_: (0, 0)))
+        args = [q, kv_cache, alibi]
+    else:
+        def kernel_noalibi(bt, cl, q_ref, kv_ref, o_ref, m, l, acc):
+            return _decode_kernel_pipelined(
+                bt, cl, q_ref, kv_ref, None, o_ref, m, l, acc,
+                block_size=s, num_kv_heads=hkv, gp=gp, scale=scale,
+                sliding_window=sliding_window)
+        kernel = kernel_noalibi
+        args = [q, kv_cache]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, mb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, rows, d), lambda i, j, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, rows, d), jnp.float32),
+        interpret=interpret,
+    )(block_tables, context_lens, *args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gp", "scale", "sliding_window", "interpret"))
@@ -312,11 +439,13 @@ def paged_decode_attention(
     if alibi_slopes is not None:
         al = jnp.pad(alibi_slopes.reshape(hkv, g), ((0, 0), (0, gp - g)))
         alibi = al.reshape(hkv * gp, 1).astype(jnp.float32)
-    out = _paged_decode(qg.astype(jnp.bfloat16), kv_cache,
-                        block_tables.astype(jnp.int32),
-                        context_lens.astype(jnp.int32), alibi,
-                        gp=gp, scale=float(scale),
-                        sliding_window=sliding_window,
-                        interpret=interpret)
+    impl = (_paged_decode_pipelined
+            if os.environ.get("VLLM_TPU_ATTN_PIPELINED") else _paged_decode)
+    out = impl(qg.astype(jnp.bfloat16), kv_cache,
+               block_tables.astype(jnp.int32),
+               context_lens.astype(jnp.int32), alibi,
+               gp=gp, scale=float(scale),
+               sliding_window=sliding_window,
+               interpret=interpret)
     out = out.reshape(b, hkv, gp, d)[:, :, :g, :].reshape(b, hq, d)
     return out.astype(q.dtype)
