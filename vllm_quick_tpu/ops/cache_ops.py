@@ -147,9 +147,23 @@ def copy_blocks(
         return caches
     src = src_dst[:, 0]
     dst = src_dst[:, 1]
+    p = src_dst.shape[0]
     out = []
     for cache in caches:
-        out.append(cache.at[dst].set(cache[src], mode="drop"))
+        # Per-pair dynamic slice/update (in place under donation): a
+        # multi-index scatter would copy the whole pool (see
+        # reshape_and_cache). The dus chain also gives the correct
+        # read-after-write ordering for chained copies.
+        def body(i, c):
+            blk = jax.lax.dynamic_slice_in_dim(c, src[i], 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(c, blk, dst[i],
+                                                       axis=0)
+        if p <= 16:
+            for i in range(p):
+                cache = body(i, cache)
+        else:
+            cache = jax.lax.fori_loop(0, p, body, cache)
+        out.append(cache)
     return out
 
 
@@ -167,7 +181,11 @@ def swap_blocks(
     if not src_to_dst:
         return dst_cache
     src_idx = jnp.asarray(list(src_to_dst.keys()), dtype=jnp.int32)
-    dst_idx = jnp.asarray(list(src_to_dst.values()), dtype=jnp.int32)
     blocks = src_cache[src_idx]
     blocks = jax.device_put(blocks, list(dst_cache.devices())[0])
-    return dst_cache.at[dst_idx].set(blocks)
+    # Per-block in-place insert; a multi-index scatter would copy the
+    # whole destination pool (see reshape_and_cache).
+    for i, dst in enumerate(src_to_dst.values()):
+        dst_cache = jax.lax.dynamic_update_slice_in_dim(
+            dst_cache, blocks[i:i + 1], dst, axis=0)
+    return dst_cache
