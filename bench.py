@@ -80,8 +80,11 @@ def main():
     blocks_per_seq = -(-ctx_len // block_size)
     num_blocks = 1 + batch * blocks_per_seq
 
+    kv_dtype = {"bfloat16": jnp.bfloat16,
+                "fp8_e5m2": jnp.float8_e5m2}[
+                    os.environ.get("BENCH_KV_DTYPE", "bfloat16")]
     shape = model.kv_cache_shape(num_blocks, block_size)
-    caches = [jnp.zeros(shape, jnp.bfloat16)
+    caches = [jnp.zeros(shape, kv_dtype)
               for _ in range(model.num_layers)]
 
     bt = np.zeros((batch, blocks_per_seq), np.int32)
