@@ -46,13 +46,18 @@ def _round_up(x: int, m: int) -> int:
 def _choose_tiles(kp: int, np_: int) -> tuple:
     """Pick (tile_k, tile_n) minimizing grid steps under the VMEM budget.
 
+    VLLM_TPU_QMM_TN=<n> forces the lane-tile width (benchmark knob).
+
     Constraints: tile_k divides kp; tile_k/SUPERBLOCK is a multiple of 4
     (so the [tile_k/128, tile_n] scale blocks satisfy the (8,128) sublane
     rule) unless it equals the whole K; packed tile <= _TILE_BUDGET.
     """
     n_sb = kp // SUPERBLOCK
     best = None  # (steps, -d*tn, tile_k, tile_n)
-    for tn in (1024, 512, 256, 128):
+    forced_tn = os.environ.get("VLLM_TPU_QMM_TN")
+    tn_options = ((int(forced_tn),) if forced_tn
+                  else (1024, 512, 256, 128))
+    for tn in tn_options:
         if np_ % tn != 0:
             continue
         for d in range(1, n_sb + 1):
