@@ -90,6 +90,9 @@ async def run(args):
         await asyncio.gather(*tasks)
     elapsed = time.perf_counter() - start
 
+    if not metrics.completed:
+        raise SystemExit("no request completed — is the OpenAI server "
+                         f"(/v1/completions) running on {url}?")
     print(json.dumps({
         "completed": metrics.completed,
         "duration_s": round(elapsed, 2),
