@@ -77,6 +77,13 @@ def _apply_top_k_top_p_min_p(logits, t: SamplingTensors,
 def _sample_jit(logits: jax.Array, t: SamplingTensors, flags_key: tuple):
     flags = SamplingFlags(*flags_key)
     logits = logits.astype(jnp.float32)
+    # Align the logits row count to the sampling-row bucket inside the
+    # jit (an eager slice/pad would cost an extra device dispatch).
+    sp = t.temperatures.shape[0]
+    if logits.shape[0] < sp:
+        logits = jnp.pad(logits, ((0, sp - logits.shape[0]), (0, 0)))
+    elif logits.shape[0] > sp:
+        logits = logits[:sp]
     s, v = logits.shape
 
     if flags.do_penalties:

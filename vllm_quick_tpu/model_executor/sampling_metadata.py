@@ -125,17 +125,20 @@ def build_sampling_tensors(
             prompt_tokens[i, :len(pt)] = pt
             output_tokens[i, :len(ot)] = ot
 
+    # Leaves stay host numpy: the jitted sampler's dispatch moves the
+    # whole pytree in one device interaction (a standalone jnp.asarray
+    # costs one full round trip EACH on remote-attached devices).
     tensors = SamplingTensors(
-        temperatures=jnp.asarray(temps),
-        top_ps=jnp.asarray(top_ps),
-        top_ks=jnp.asarray(top_ks),
-        min_ps=jnp.asarray(min_ps),
-        presence_penalties=jnp.asarray(pres),
-        frequency_penalties=jnp.asarray(freq),
-        repetition_penalties=jnp.asarray(rep),
-        is_greedy=jnp.asarray(greedy),
-        seeds=jnp.asarray(seeds),
-        prompt_tokens=jnp.asarray(prompt_tokens),
-        output_tokens=jnp.asarray(output_tokens),
+        temperatures=temps,
+        top_ps=top_ps,
+        top_ks=top_ks,
+        min_ps=min_ps,
+        presence_penalties=pres,
+        frequency_penalties=freq,
+        repetition_penalties=rep,
+        is_greedy=greedy,
+        seeds=seeds,
+        prompt_tokens=prompt_tokens,
+        output_tokens=output_tokens,
     )
     return tensors, flags, n
