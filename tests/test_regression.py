@@ -91,6 +91,10 @@ def test_cache_write_pad_slots_only_touch_null_block():
 def test_cache_write_in_place_under_donation():
     """Donated-buffer cache writes must not allocate a second pool: the
     output buffer is literally the input buffer."""
+    import pytest
+    if jax.default_backend() not in ("cpu",):
+        pytest.skip("unsafe_buffer_pointer unsupported on remote "
+                    "backends; the no-scatter jaxpr tests cover TPU")
     cache = jnp.zeros((8, 2, 4, 16, 128), jnp.float32)
     key = jnp.ones((2, 4, 128), jnp.float32)
     slots = jnp.asarray([17, 33], jnp.int32)

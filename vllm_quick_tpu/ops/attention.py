@@ -103,8 +103,11 @@ def paged_decode_attention_ref(
         .reshape(b, hkv, t, d)
 
     qf = q.astype(jnp.float32).reshape(b, hkv, g, d)
+    # HIGHEST: TPU f32 matmuls default to bf16 passes; this is the
+    # ground-truth path, so force full f32 (clarity over speed).
     logits = jnp.einsum("bhgd,bhtd->bhgt", qf,
-                        k.astype(jnp.float32)) * scale
+                        k.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST) * scale
 
     pos = jnp.arange(t)[None, :]                          # [1, T]
     mask = pos < context_lens[:, None]                    # [B, T]
@@ -117,7 +120,8 @@ def paged_decode_attention_ref(
         logits = logits + slopes[None, :, :, None] * dist[:, None, None, :]
     logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgt,bhtd->bhgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhgt,bhtd->bhgd", probs, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(b, hq, d).astype(q.dtype)
 
 
