@@ -94,3 +94,44 @@ def test_logprobs_returned(llm):
     assert lp is not None and len(lp) == len(outs[0].outputs[0].token_ids)
     for d in lp:
         assert len(d) >= 3
+
+
+def test_swap_preemption_roundtrip():
+    """Multi-sequence groups under a starved block pool must be
+    preempted by SWAP (core/scheduler.py _preempt: RECOMPUTE is only
+    for single-sequence groups) and later swapped back in, producing
+    complete generations — exercises CacheEngine.swap_out/swap_in and
+    the scheduler's swapped queue end-to-end."""
+    d = make_tiny_llama_dir()
+    llm = LLM(model=d, dtype="float32", enforce_eager=True,
+              num_tpu_blocks_override=20, max_model_len=128,
+              max_num_batched_tokens=512, disable_log_stats=True)
+    engine = llm.llm_engine
+    cache_engine = engine.worker.cache_engine
+    swaps = {"out": 0, "in": 0}
+    orig_out, orig_in = cache_engine.swap_out, cache_engine.swap_in
+
+    def counting_out(m):
+        swaps["out"] += 1
+        return orig_out(m)
+
+    def counting_in(m):
+        swaps["in"] += 1
+        return orig_in(m)
+
+    cache_engine.swap_out = counting_out
+    cache_engine.swap_in = counting_in
+
+    # 4 groups x best_of=2 sequences, long enough generations that the
+    # 19-usable-block pool (block 0 is the null block) cannot hold all
+    # 8 sequences at once.
+    params = SamplingParams(n=2, best_of=2, temperature=0.7, seed=0,
+                            max_tokens=45, ignore_eos=True)
+    outputs = llm.generate(["a b c"] * 4, params)
+    assert len(outputs) == 4
+    for out in outputs:
+        assert len(out.outputs) == 2
+        for seq in out.outputs:
+            assert len(seq.token_ids) == 45
+    assert swaps["out"] > 0, "expected swap-out preemption"
+    assert swaps["in"] > 0, "expected swap-in resumption"
