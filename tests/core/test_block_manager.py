@@ -1,11 +1,10 @@
 """Block manager unit tests (reference strategy: tests/core)."""
 import pytest
 
-from vllm_quick_tpu.core.block_manager import (AllocStatus, BlockAllocator,
+from vllm_quick_tpu.core.block_manager import (AllocStatus, BlockPool,
                                                BlockSpaceManager)
 from vllm_quick_tpu.sampling_params import SamplingParams
 from vllm_quick_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
-from vllm_quick_tpu.utils import Device
 
 
 def make_group(prompt_len=8, block_size=4, n=1, seq_start=0,
@@ -19,19 +18,19 @@ def make_group(prompt_len=8, block_size=4, n=1, seq_start=0,
     return SequenceGroup(request_id, seqs, sp, arrival_time=0.0)
 
 
-def test_allocator_refcounts():
-    a = BlockAllocator(Device.TPU, 4, 4, first_block_id=1)
-    blocks = [a.allocate() for _ in range(4)]
-    assert sorted(b.block_number for b in blocks) == [1, 2, 3, 4]
+def test_pool_refcounts():
+    pool = BlockPool(4, base=1)
+    ids = [pool.acquire() for _ in range(4)]
+    assert sorted(ids) == [1, 2, 3, 4]
     with pytest.raises(ValueError):
-        a.allocate()
-    blocks[0].ref_count += 1
-    a.free(blocks[0])
-    assert a.get_num_free_blocks() == 0
-    a.free(blocks[0])
-    assert a.get_num_free_blocks() == 1
+        pool.acquire()
+    pool.retain(ids[0])
+    pool.release(ids[0])
+    assert pool.available() == 0
+    pool.release(ids[0])
+    assert pool.available() == 1
     with pytest.raises(ValueError):
-        a.free(blocks[0])
+        pool.release(ids[0])
 
 
 def test_allocate_and_free():

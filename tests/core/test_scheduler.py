@@ -115,6 +115,49 @@ def test_abort_frees_blocks():
     assert not sched.has_unfinished_seqs()
 
 
+def test_lora_budget_skips_not_blocks():
+    """A group whose adapter exceeds the per-batch LoRA budget must be
+    SKIPPED, letting later groups (same or base adapter) through —
+    no head-of-line blocking (reference scheduler.py:219-227)."""
+    from vllm_quick_tpu.config import LoRAConfig
+    from vllm_quick_tpu.lora.request import LoRARequest
+
+    sc = SchedulerConfig(max_num_batched_tokens=256, max_num_seqs=8,
+                         max_model_len=64)
+    cc = CacheConfig(block_size=4, gpu_memory_utilization=0.9,
+                     swap_space=1)
+    cc.num_gpu_blocks = 64
+    cc.num_cpu_blocks = 16
+    lc = LoRAConfig(max_lora_rank=8, max_loras=1)
+    sched = Scheduler(sc, cc, lora_config=lc)
+
+    def lora_req(sched_, lora_id):
+        i = _next_id[0]
+        _next_id[0] += 1
+        seq = Sequence(i, "p", list(range(8)), 4)
+        req = LoRARequest(f"a{lora_id}", lora_id, f"/tmp/a{lora_id}")
+        g = SequenceGroup(f"req-{i}", [seq],
+                          SamplingParams(temperature=0.0, max_tokens=4),
+                          arrival_time=float(i), lora_request=req)
+        sched_.add_seq_group(g)
+        return g
+
+    g_a = lora_req(sched, 1)     # adapter 1 — fits (budget 1)
+    g_b = lora_req(sched, 2)     # adapter 2 — over budget, must skip
+    g_c = lora_req(sched, 1)     # adapter 1 again — must still admit
+    g_d = add_request(sched)     # base model — must still admit
+
+    metas, out = sched.schedule()
+    scheduled = {g.request_id for g in out.scheduled_seq_groups}
+    assert g_a.request_id in scheduled
+    assert g_b.request_id not in scheduled
+    assert g_c.request_id in scheduled
+    assert g_d.request_id in scheduled
+    # The skipped group keeps its place in the waiting queue.
+    assert list(sched.waiting) == [g_b]
+    assert g_b.get_seqs()[0].status == SequenceStatus.WAITING
+
+
 def test_finished_groups_are_freed():
     sched = make_scheduler()
     g = add_request(sched, max_tokens=1)

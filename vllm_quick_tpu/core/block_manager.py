@@ -1,288 +1,327 @@
-"""Logical->physical KV block mapping.
+"""Paged-KV block accounting: logical position -> physical HBM block.
 
-Reference parity: vllm/core/block_manager.py:10-330 — ref-counted
-allocators per device, watermark admission, copy-on-write on append,
-fork sharing, swap in/out maps, sliding-window block ring, prefix-cache
-block sharing. Physical block 0 on the TPU side is reserved as the
-null/pad block (see ops/cache_ops.py), so allocators start at id 1.
+Capability parity with the reference block manager
+(vllm/core/block_manager.py) — watermark admission, copy-on-write,
+fork sharing, device<->host swap maps, sliding-window ring, shared
+prefix pinning — but with a different data organization suited to this
+engine:
+
+* Physical blocks are plain ``int`` ids; reference counts live in one
+  numpy array per pool (``BlockPool``), not in per-block objects.
+  Block tables are ``List[int]`` and feed the model runner's numpy
+  batch builders directly.
+* The device free stack hands out ids in ascending order, so fresh
+  prompts get (mostly) consecutive blocks — the decode attention
+  kernel's contiguous-window DMA fast path keys off exactly that
+  (ops/paged_attention.py group_is_contiguous).
+* Device block 0 is the reserved null/pad block (ops/cache_ops.py);
+  the device pool therefore starts at id 1.
+* A sequence's table lives either on-device or swapped-to-host; a
+  swapped table may keep its first ``pinned`` entries (shared prefix
+  blocks) resident on device.
 """
 import enum
-from typing import Dict, List, Optional, Set, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
-from vllm_quick_tpu.block import BlockTable, PhysicalTokenBlock
-from vllm_quick_tpu.prefix import Prefix
+import numpy as np
+
 from vllm_quick_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
-from vllm_quick_tpu.utils import Device
 
 
-class BlockAllocator:
-    """Free-list allocator of ref-counted physical blocks."""
+class BlockPool:
+    """Ref-counted pool of integer block ids [base, base + size)."""
 
-    def __init__(self, device: Device, block_size: int, num_blocks: int,
-                 first_block_id: int = 0) -> None:
-        self.device = device
-        self.block_size = block_size
-        self.num_blocks = num_blocks
-        self.free_blocks: List[PhysicalTokenBlock] = [
-            PhysicalTokenBlock(device, first_block_id + i, block_size)
-            for i in range(num_blocks)
-        ]
+    def __init__(self, size: int, base: int = 0) -> None:
+        self.size = size
+        self.base = base
+        self._refs = np.zeros(base + size, dtype=np.int32)
+        # Stack popped from the tail; reversed so low ids go out first.
+        self._free: List[int] = list(range(base + size - 1, base - 1, -1))
 
-    def allocate(self) -> PhysicalTokenBlock:
-        if not self.free_blocks:
-            raise ValueError("Out of memory! No free blocks available.")
-        block = self.free_blocks.pop()
-        block.ref_count = 1
-        return block
+    def acquire(self, refs: int = 1) -> int:
+        if not self._free:
+            raise ValueError(
+                "KV block pool exhausted — scheduler admitted more than "
+                "the pool can hold (accounting bug).")
+        blk = self._free.pop()
+        self._refs[blk] = refs
+        return blk
 
-    def free(self, block: PhysicalTokenBlock) -> None:
-        if block.ref_count == 0:
-            raise ValueError(f"Double free! {block} is already freed.")
-        block.ref_count -= 1
-        if block.ref_count == 0:
-            self.free_blocks.append(block)
+    def retain(self, blk: int, count: int = 1) -> None:
+        self._refs[blk] += count
 
-    def get_num_free_blocks(self) -> int:
-        return len(self.free_blocks)
+    def set_refs(self, blk: int, refs: int) -> None:
+        self._refs[blk] = refs
+
+    def refs(self, blk: int) -> int:
+        return int(self._refs[blk])
+
+    def release(self, blk: int) -> None:
+        if self._refs[blk] <= 0:
+            raise ValueError(f"Double release of block {blk}.")
+        self._refs[blk] -= 1
+        if self._refs[blk] == 0:
+            self._free.append(blk)
+
+    def available(self) -> int:
+        return len(self._free)
 
 
 class AllocStatus(enum.Enum):
-    OK = enum.auto()       # can allocate now
-    LATER = enum.auto()    # not now, retry when blocks free up
-    NEVER = enum.auto()    # prompt can never fit; reject the request
+    OK = enum.auto()       # fits now
+    LATER = enum.auto()    # retry once blocks free up
+    NEVER = enum.auto()    # cannot fit even in an empty pool
+
+
+@dataclass
+class _SeqTable:
+    """Physical mapping of one sequence. ``on_host`` marks a
+    swapped-out table; its first ``pinned`` ids are prefix blocks that
+    never left the device."""
+
+    blocks: List[int] = field(default_factory=list)
+    on_host: bool = False
+    pinned: int = 0
 
 
 class BlockSpaceManager:
-    """Maps sequences' logical blocks to device/host physical blocks."""
+    """Owns the device and host pools plus every live block table."""
 
     def __init__(
         self,
         block_size: int,
-        num_gpu_blocks: int,      # usable TPU HBM blocks (null excluded)
+        num_gpu_blocks: int,
         num_cpu_blocks: int,
         watermark: float = 0.01,
         sliding_window: Optional[int] = None,
     ) -> None:
+        assert watermark >= 0.0
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
-        self.block_sliding_window: Optional[int] = None
-        if sliding_window is not None:
-            assert sliding_window % block_size == 0, (sliding_window,
-                                                      block_size)
-            self.block_sliding_window = sliding_window // block_size
-        self.watermark = watermark
-        assert watermark >= 0.0
         self.watermark_blocks = int(watermark * num_gpu_blocks)
-        # TPU block ids start at 1: block 0 is the null/pad block.
-        self.gpu_allocator = BlockAllocator(Device.TPU, block_size,
-                                            num_gpu_blocks,
-                                            first_block_id=1)
-        self.cpu_allocator = BlockAllocator(Device.CPU, block_size,
-                                            num_cpu_blocks)
-        self.block_tables: Dict[int, BlockTable] = {}
 
-    # -- admission ---------------------------------------------------------
+        self.ring_blocks: Optional[int] = None
+        if sliding_window is not None:
+            assert sliding_window % block_size == 0, (
+                "sliding window must be a block multiple", sliding_window,
+                block_size)
+            self.ring_blocks = sliding_window // block_size
+
+        # Device ids start at 1 (0 = null/pad block).
+        self.device_pool = BlockPool(num_gpu_blocks, base=1)
+        self.host_pool = BlockPool(num_cpu_blocks)
+        self._tables: Dict[int, _SeqTable] = {}
+
+    # ---- prompt admission ------------------------------------------------
+
+    def _blocks_needed(self, seq_group: SequenceGroup) -> int:
+        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
+        needed = seq.num_logical_blocks()
+        prefix = seq_group.prefix
+        if prefix is not None and prefix.allocated:
+            needed -= prefix.get_num_blocks()
+        if self.ring_blocks is not None:
+            needed = min(needed, self.ring_blocks)
+        return needed
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
-        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_required = len(seq.logical_token_blocks)
-        if seq_group.prefix is not None and seq_group.prefix.allocated:
-            num_required -= seq_group.prefix.get_num_blocks()
-        if self.block_sliding_window is not None:
-            num_required = min(num_required, self.block_sliding_window)
-        num_free = self.gpu_allocator.get_num_free_blocks()
-        if self.num_total_gpu_blocks - num_required < self.watermark_blocks:
+        needed = self._blocks_needed(seq_group)
+        if self.num_total_gpu_blocks - needed < self.watermark_blocks:
             return AllocStatus.NEVER
-        if num_free - num_required >= self.watermark_blocks:
+        if self.device_pool.available() - needed >= self.watermark_blocks:
             return AllocStatus.OK
         return AllocStatus.LATER
 
     def allocate(self, seq_group: SequenceGroup) -> None:
+        """Build the shared prompt table for every waiting candidate.
+        All candidates of a group alias the same prompt blocks until
+        copy-on-write separates them."""
         seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_prompt_blocks = len(seq.logical_token_blocks)
-
-        block_table: BlockTable = []
-        prefix_block_table: BlockTable = []
-        num_prefix_blocks = 0
-
+        total = seq.num_logical_blocks()
+        fanout = seq_group.num_seqs()
         prefix = seq_group.prefix
-        if prefix is not None and prefix.allocated:
-            # Reuse the prefix's blocks (shared, read-only).
-            num_prefix_blocks = prefix.get_num_blocks()
-            for block in prefix.block_table:
-                block.ref_count += seq_group.num_seqs()
-                block_table.append(block)
 
-        for logical_idx in range(num_prefix_blocks, num_prompt_blocks):
-            if (self.block_sliding_window is not None
-                    and logical_idx >= self.block_sliding_window):
-                block = block_table[logical_idx % self.block_sliding_window]
-            else:
-                block = self.gpu_allocator.allocate()
-            # All candidate sequences share the prompt blocks.
-            block.ref_count = seq_group.num_seqs()
-            block_table.append(block)
+        table: List[int] = []
+        if prefix is not None and prefix.allocated:
+            # Shared prefix already resident: alias its blocks.
+            for blk in prefix.block_table:
+                self.device_pool.retain(blk, fanout)
+                table.append(blk)
+
+        while len(table) < total:
+            if (self.ring_blocks is not None
+                    and len(table) >= self.ring_blocks):
+                # Sliding window: wrap onto the ring, no new block.
+                table.append(table[len(table) % self.ring_blocks])
+                continue
+            blk = self.device_pool.acquire()
+            self.device_pool.set_refs(blk, fanout)
+            table.append(blk)
 
         if prefix is not None and not prefix.allocated:
-            # First group computing this prefix: pin its blocks.
-            num_prefix_blocks = prefix.get_num_blocks()
-            prefix_block_table = block_table[:num_prefix_blocks]
-            for block in prefix_block_table:
-                block.ref_count += 1
-            prefix.set_block_table(prefix_block_table)
+            # This group computes the prefix: pin its leading blocks.
+            head = table[:prefix.get_num_blocks()]
+            for blk in head:
+                self.device_pool.retain(blk)
+            prefix.set_block_table(head)
 
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            self.block_tables[seq.seq_id] = block_table.copy()
+        for s in seq_group.get_seqs(status=SequenceStatus.WAITING):
+            self._tables[s.seq_id] = _SeqTable(blocks=list(table))
 
-    # -- decode growth -----------------------------------------------------
+    # ---- decode growth ---------------------------------------------------
 
     def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        # Worst case: every running sequence needs one new block.
-        num_free = self.gpu_allocator.get_num_free_blocks()
-        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs <= num_free
+        # Worst case each running candidate starts a fresh block.
+        running = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return running <= self.device_pool.available()
 
     def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
-        """Allocate/share a slot for the sequence's new token. Returns a
-        (src, dst) block copy for COW, if one is required."""
-        logical_blocks = seq.logical_token_blocks
-        block_table = self.block_tables[seq.seq_id]
-
-        if len(block_table) < len(logical_blocks):
-            if (self.block_sliding_window
-                    and len(block_table) >= self.block_sliding_window):
-                # ring reuse
-                block_table.append(
-                    block_table[len(block_table) %
-                                self.block_sliding_window])
+        """Reserve KV room for the sequence's next token. Returns a
+        (src, dst) pair when a shared tail block had to be copied."""
+        table = self._tables[seq.seq_id].blocks
+        if len(table) < seq.num_logical_blocks():
+            if (self.ring_blocks is not None
+                    and len(table) >= self.ring_blocks):
+                table.append(table[len(table) % self.ring_blocks])
             else:
-                block_table.append(self.gpu_allocator.allocate())
+                table.append(self.device_pool.acquire())
             return None
-
-        last_block = block_table[-1]
-        assert last_block.device == Device.TPU
-        if last_block.ref_count == 1:
+        tail = table[-1]
+        if self.device_pool.refs(tail) == 1:
             return None
-        # Shared block: copy-on-write (block_manager.py:173-203).
-        new_block = self.gpu_allocator.allocate()
-        block_table[-1] = new_block
-        self.gpu_allocator.free(last_block)
-        return last_block.block_number, new_block.block_number
+        # Tail block aliased by a sibling: copy-on-write.
+        fresh = self.device_pool.acquire()
+        table[-1] = fresh
+        self.device_pool.release(tail)
+        return tail, fresh
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
-        src_block_table = self.block_tables[parent_seq.seq_id]
-        self.block_tables[child_seq.seq_id] = src_block_table.copy()
-        for block in set(src_block_table):
-            block.ref_count += 1
+        src = self._tables[parent_seq.seq_id].blocks
+        for blk in set(src):
+            self.device_pool.retain(blk)
+        self._tables[child_seq.seq_id] = _SeqTable(blocks=list(src))
 
-    # -- swapping ----------------------------------------------------------
+    # ---- swapping --------------------------------------------------------
 
-    def _get_physical_blocks(
-            self, seq_group: SequenceGroup) -> List[PhysicalTokenBlock]:
-        blocks: Set[PhysicalTokenBlock] = set()
+    def _swap_footprint(self, seq_group: SequenceGroup) -> int:
+        """Distinct device blocks a swap would move (prefix blocks stay
+        resident and don't count)."""
+        pinned = set()
+        if seq_group.prefix is not None and seq_group.prefix.allocated:
+            pinned = set(seq_group.prefix.block_table)
+        moved = set()
         for seq in seq_group.get_seqs():
-            if seq.is_finished():
+            if seq.status.finished:
                 continue
-            blocks.update(self.block_tables[seq.seq_id])
-        if seq_group.prefix is not None and seq_group.prefix.allocated:
-            blocks.difference_update(seq_group.prefix.block_table)
-        return list(blocks)
-
-    def can_swap_in(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        num_swapped = seq_group.num_seqs(status=SequenceStatus.SWAPPED)
-        num_free = self.gpu_allocator.get_num_free_blocks()
-        # One extra block per sequence for the next appended token.
-        num_required = len(blocks) + num_swapped
-        return num_free - num_required >= self.watermark_blocks
-
-    def swap_in(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        prefix_blocks = set()
-        if seq_group.prefix is not None and seq_group.prefix.allocated:
-            prefix_blocks = set(seq_group.prefix.block_table)
-        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
-            new_block_table: BlockTable = []
-            for cpu_block in self.block_tables[seq.seq_id]:
-                if cpu_block in prefix_blocks:
-                    # Prefix blocks never left the device.
-                    cpu_block.ref_count += 1
-                    new_block_table.append(cpu_block)
-                    continue
-                if cpu_block in mapping:
-                    gpu_block = mapping[cpu_block]
-                    gpu_block.ref_count += 1
-                else:
-                    gpu_block = self.gpu_allocator.allocate()
-                    mapping[cpu_block] = gpu_block
-                new_block_table.append(gpu_block)
-            for cpu_block in set(self.block_tables[seq.seq_id]):
-                if cpu_block not in prefix_blocks:
-                    self.cpu_allocator.free(cpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            cpu.block_number: gpu.block_number
-            for cpu, gpu in mapping.items()
-        }
+            moved.update(self._tables[seq.seq_id].blocks)
+        return len(moved - pinned)
 
     def can_swap_out(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        return len(blocks) <= self.cpu_allocator.get_num_free_blocks()
+        return self._swap_footprint(seq_group) <= self.host_pool.available()
 
     def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        prefix_blocks = set()
-        if seq_group.prefix is not None and seq_group.prefix.allocated:
-            prefix_blocks = set(seq_group.prefix.block_table)
+        """Move every RUNNING candidate's non-prefix blocks to host.
+        Returns {device_block: host_block} for the cache engine."""
+        pinned = set()
+        prefix = seq_group.prefix
+        if prefix is not None and prefix.allocated:
+            pinned = set(prefix.block_table)
+
+        moved: Dict[int, int] = {}
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            new_block_table: BlockTable = []
-            for gpu_block in self.block_tables[seq.seq_id]:
-                if gpu_block in prefix_blocks:
-                    # Keep shared prefix blocks resident on device.
-                    gpu_block.ref_count += 1
-                    new_block_table.append(gpu_block)
+            entry = self._tables[seq.seq_id]
+            new_blocks: List[int] = []
+            n_pinned = 0
+            for blk in entry.blocks:
+                if blk in pinned:
+                    # Prefix blocks stay on device, still referenced.
+                    self.device_pool.retain(blk)
+                    new_blocks.append(blk)
+                    n_pinned += 1
                     continue
-                if gpu_block in mapping:
-                    cpu_block = mapping[gpu_block]
-                    cpu_block.ref_count += 1
+                if blk in moved:
+                    host_blk = moved[blk]
+                    self.host_pool.retain(host_blk)
                 else:
-                    cpu_block = self.cpu_allocator.allocate()
-                    mapping[gpu_block] = cpu_block
-                new_block_table.append(cpu_block)
-            for gpu_block in set(self.block_tables[seq.seq_id]):
-                self.gpu_allocator.free(gpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            gpu.block_number: cpu.block_number
-            for gpu, cpu in mapping.items()
-        }
+                    host_blk = self.host_pool.acquire()
+                    moved[blk] = host_blk
+                new_blocks.append(host_blk)
+            for blk in set(entry.blocks):
+                self.device_pool.release(blk)
+            self._tables[seq.seq_id] = _SeqTable(
+                blocks=new_blocks, on_host=True, pinned=n_pinned)
+        return moved
 
-    # -- release -----------------------------------------------------------
+    def can_swap_in(self, seq_group: SequenceGroup) -> bool:
+        needed = self._swap_footprint(seq_group) + seq_group.num_seqs(
+            status=SequenceStatus.SWAPPED)
+        return (self.device_pool.available() - needed
+                >= self.watermark_blocks)
 
-    def _free_block_table(self, block_table: BlockTable) -> None:
-        for block in set(block_table):
-            if block.device == Device.TPU:
-                self.gpu_allocator.free(block)
-            else:
-                self.cpu_allocator.free(block)
+    def swap_in(self, seq_group: SequenceGroup) -> Dict[int, int]:
+        """Bring every SWAPPED candidate back. Returns
+        {host_block: device_block} for the cache engine."""
+        pinned = set()
+        prefix = seq_group.prefix
+        if prefix is not None and prefix.allocated:
+            pinned = set(prefix.block_table)
+
+        moved: Dict[int, int] = {}
+        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
+            entry = self._tables[seq.seq_id]
+            new_blocks: List[int] = []
+            for i, blk in enumerate(entry.blocks):
+                if i < entry.pinned and blk in pinned:
+                    # Device-resident prefix block; re-take a reference.
+                    self.device_pool.retain(blk)
+                    new_blocks.append(blk)
+                    continue
+                if blk in moved:
+                    dev_blk = moved[blk]
+                    self.device_pool.retain(dev_blk)
+                else:
+                    dev_blk = self.device_pool.acquire()
+                    moved[blk] = dev_blk
+                new_blocks.append(dev_blk)
+            host_ids = entry.blocks[entry.pinned:]
+            for blk in set(host_ids):
+                self.host_pool.release(blk)
+            for blk in set(entry.blocks[:entry.pinned]):
+                self.device_pool.release(blk)
+            self._tables[seq.seq_id] = _SeqTable(blocks=new_blocks)
+        return moved
+
+    # ---- release ---------------------------------------------------------
+
+    def _drop_table(self, entry: _SeqTable) -> None:
+        if entry.on_host:
+            for blk in set(entry.blocks[:entry.pinned]):
+                self.device_pool.release(blk)
+            for blk in set(entry.blocks[entry.pinned:]):
+                self.host_pool.release(blk)
+        else:
+            for blk in set(entry.blocks):
+                self.device_pool.release(blk)
 
     def free(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
-            return  # already freed / never allocated
-        self._free_block_table(self.block_tables[seq.seq_id])
-        del self.block_tables[seq.seq_id]
+        entry = self._tables.pop(seq.seq_id, None)
+        if entry is not None:
+            self._drop_table(entry)
 
     def reset(self) -> None:
-        for block_table in self.block_tables.values():
-            self._free_block_table(block_table)
-        self.block_tables.clear()
+        for entry in self._tables.values():
+            self._drop_table(entry)
+        self._tables.clear()
+
+    # ---- views -----------------------------------------------------------
 
     def get_block_table(self, seq: Sequence) -> List[int]:
-        return [b.block_number for b in self.block_tables[seq.seq_id]]
+        return list(self._tables[seq.seq_id].blocks)
 
     def get_num_free_gpu_blocks(self) -> int:
-        return self.gpu_allocator.get_num_free_blocks()
+        return self.device_pool.available()
 
     def get_num_free_cpu_blocks(self) -> int:
-        return self.cpu_allocator.get_num_free_blocks()
+        return self.host_pool.available()

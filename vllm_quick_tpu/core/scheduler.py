@@ -1,14 +1,22 @@
 """Iteration-level continuous-batching scheduler.
 
-Reference parity: vllm/core/scheduler.py:18-494 — prompt-first admission
-under token/seq/padding budgets, decode slot reservation with
-preemption (RECOMPUTE for single-sequence groups, SWAP for multi),
-swap-in of previously swapped groups, COW copy collection, LoRA batch
-budgeting hooks.
+Capability parity with the reference scheduler (vllm/core/scheduler.py):
+prompt-first admission under token/seq/padding budgets, decode slot
+reservation with preemption (RECOMPUTE for lone sequences, SWAP for
+multi-candidate groups), resumption of swapped groups, copy-on-write
+collection, and per-batch LoRA adapter budgeting — restructured here as
+three explicit planning phases over a shared ``_BatchBudget``.
+
+One behavioral improvement over the reference: when the LoRA adapter
+budget blocks a group, the planner *skips* it and keeps considering the
+rest of the queue (the reference's swap-in loop head-of-line-blocks
+every other adapter; its waiting loop skips — we skip in both places,
+matching vllm/core/scheduler.py:219-227 and fixing the swap side).
 """
 import enum
 import time
 from collections import deque
+from dataclasses import dataclass, field
 from typing import Deque, Dict, Iterable, List, Optional, Set, Tuple, Union
 
 from vllm_quick_tpu.config import CacheConfig, LoRAConfig, SchedulerConfig
@@ -16,8 +24,8 @@ from vllm_quick_tpu.core.block_manager import AllocStatus, BlockSpaceManager
 from vllm_quick_tpu.core.policy import PolicyFactory
 from vllm_quick_tpu.logger import init_logger
 from vllm_quick_tpu.prefix import PrefixPool
-from vllm_quick_tpu.sequence import (Sequence, SequenceData, SequenceGroup,
-                                     SequenceGroupMetadata, SequenceStatus)
+from vllm_quick_tpu.sequence import (SequenceGroup, SequenceGroupMetadata,
+                                     SequenceStatus, TokenLog)
 
 logger = init_logger(__name__)
 
@@ -27,40 +35,97 @@ class PreemptionMode(enum.Enum):
     RECOMPUTE = enum.auto()
 
 
+@dataclass
 class SchedulerOutputs:
+    """One step's plan: what to run plus the cache moves that must
+    happen before the forward pass."""
 
-    def __init__(
-        self,
-        scheduled_seq_groups: List[SequenceGroup],
-        prompt_run: bool,
-        num_batched_tokens: int,
-        blocks_to_swap_in: Dict[int, int],
-        blocks_to_swap_out: Dict[int, int],
-        blocks_to_copy: Dict[int, List[int]],
-        ignored_seq_groups: List[SequenceGroup],
-    ) -> None:
-        self.scheduled_seq_groups = scheduled_seq_groups
-        self.prompt_run = prompt_run
-        self.num_batched_tokens = num_batched_tokens
-        self.blocks_to_swap_in = blocks_to_swap_in
-        self.blocks_to_swap_out = blocks_to_swap_out
-        self.blocks_to_copy = blocks_to_copy
-        self.ignored_seq_groups = ignored_seq_groups
-        assert not (blocks_to_swap_in and blocks_to_swap_out)
+    scheduled_seq_groups: List[SequenceGroup]
+    prompt_run: bool
+    num_batched_tokens: int
+    blocks_to_swap_in: Dict[int, int]
+    blocks_to_swap_out: Dict[int, int]
+    blocks_to_copy: Dict[int, List[int]]
+    ignored_seq_groups: List[SequenceGroup]
+
+    def __post_init__(self) -> None:
+        # A step never swaps both directions.
+        assert not (self.blocks_to_swap_in and self.blocks_to_swap_out)
 
     def is_empty(self) -> bool:
-        return (not self.scheduled_seq_groups and not self.blocks_to_swap_in
-                and not self.blocks_to_swap_out and not self.blocks_to_copy)
+        return not (self.scheduled_seq_groups or self.blocks_to_swap_in
+                    or self.blocks_to_swap_out or self.blocks_to_copy)
 
     @property
     def lora_requests(self) -> Set:
         return {
             g.lora_request
-            for g in self.scheduled_seq_groups if g.lora_request is not None
+            for g in self.scheduled_seq_groups
+            if g.lora_request is not None
         }
 
 
+@dataclass
+class _BatchBudget:
+    """Admission accounting shared by the prompt and swap-in phases."""
+
+    max_seqs: int
+    max_batched_tokens: int
+    max_paddings: int
+    max_loras: Optional[int]
+    n_seqs: int = 0
+    prompt_lens: List[int] = field(default_factory=list)
+    loras: Set[int] = field(default_factory=set)
+
+    @classmethod
+    def for_running(cls, scheduler: "Scheduler") -> "_BatchBudget":
+        cfg = scheduler.scheduler_config
+        budget = cls(
+            max_seqs=cfg.max_num_seqs,
+            max_batched_tokens=cfg.max_num_batched_tokens,
+            max_paddings=cfg.max_paddings,
+            max_loras=(scheduler.lora_config.max_loras
+                       if scheduler.lora_config else None),
+        )
+        for g in scheduler.running:
+            budget.n_seqs += g.get_max_num_running_seqs()
+            if g.lora_int_id > 0:
+                budget.loras.add(g.lora_int_id)
+        return budget
+
+    def lora_blocked(self, lora_id: int) -> bool:
+        return (self.max_loras is not None and lora_id > 0
+                and lora_id not in self.loras
+                and len(self.loras) >= self.max_loras)
+
+    def seqs_fit(self, n_new: int) -> bool:
+        return self.n_seqs + n_new <= self.max_seqs
+
+    def prompt_tokens_fit(self, prompt_len: int) -> bool:
+        """Prompts are padded to the batch max; both the padded total
+        and the padding waste are capped."""
+        lens = self.prompt_lens + [prompt_len]
+        padded = len(lens) * max(lens)
+        return (padded <= self.max_batched_tokens
+                and padded - sum(lens) <= self.max_paddings)
+
+    def admit(self, group: SequenceGroup,
+              prompt_len: Optional[int] = None) -> None:
+        self.n_seqs += group.get_max_num_running_seqs()
+        if group.lora_int_id > 0:
+            self.loras.add(group.lora_int_id)
+        if prompt_len is not None:
+            self.prompt_lens.append(prompt_len)
+
+    @property
+    def padded_prompt_tokens(self) -> int:
+        if not self.prompt_lens:
+            return 0
+        return len(self.prompt_lens) * max(self.prompt_lens)
+
+
 class Scheduler:
+    """Owns the three request queues and plans each engine step."""
 
     def __init__(
         self,
@@ -91,28 +156,26 @@ class Scheduler:
     def lora_enabled(self) -> bool:
         return self.lora_config is not None
 
+    # ---- queue management ------------------------------------------------
+
     def add_seq_group(self, seq_group: SequenceGroup) -> None:
         self.waiting.append(seq_group)
 
-    def abort_seq_group(self, request_id: Union[str, Iterable[str]]) -> None:
-        if isinstance(request_id, str):
-            request_id = (request_id, )
-        request_ids = set(request_id)
-        for state_queue in (self.waiting, self.running, self.swapped):
-            aborted: List[SequenceGroup] = []
-            for seq_group in state_queue:
-                if not request_ids:
-                    break
-                if seq_group.request_id in request_ids:
-                    aborted.append(seq_group)
-                    request_ids.remove(seq_group.request_id)
-            for seq_group in aborted:
-                state_queue.remove(seq_group)
-                for seq in seq_group.get_seqs():
-                    if seq.is_finished():
-                        continue
-                    seq.status = SequenceStatus.FINISHED_ABORTED
-                    self.free_seq(seq)
+    def abort_seq_group(
+            self, request_id: Union[str, Iterable[str]]) -> None:
+        targets = {request_id} if isinstance(request_id, str) \
+            else set(request_id)
+        for queue in (self.waiting, self.running, self.swapped):
+            if not targets:
+                break
+            hits = [g for g in queue if g.request_id in targets]
+            for group in hits:
+                queue.remove(group)
+                targets.discard(group.request_id)
+                for seq in group.get_seqs():
+                    if not seq.is_finished():
+                        seq.status = SequenceStatus.FINISHED_ABORTED
+                        self.free_seq(seq)
 
     def has_unfinished_seqs(self) -> bool:
         return bool(self.waiting or self.running or self.swapped)
@@ -120,266 +183,233 @@ class Scheduler:
     def get_num_unfinished_seq_groups(self) -> int:
         return len(self.waiting) + len(self.running) + len(self.swapped)
 
-    def _schedule(self) -> SchedulerOutputs:
-        blocks_to_swap_in: Dict[int, int] = {}
-        blocks_to_swap_out: Dict[int, int] = {}
-        blocks_to_copy: Dict[int, List[int]] = {}
+    # ---- step planning ---------------------------------------------------
 
-        now = time.monotonic()
+    def _reject_prompt(self, group: SequenceGroup, why: str,
+                       ignored: List[SequenceGroup]) -> None:
+        logger.warning("Rejecting prompt of request %s: %s",
+                       group.request_id, why)
+        for seq in group.get_seqs(status=SequenceStatus.WAITING):
+            seq.status = SequenceStatus.FINISHED_IGNORED
+        ignored.append(group)
 
-        # ---- Prompt phase: admit waiting groups while budgets hold
-        # (scheduler.py:186-256). Prompts are not mixed with decodes.
-        if not self.swapped:
-            ignored_seq_groups: List[SequenceGroup] = []
-            scheduled: List[SequenceGroup] = []
-            num_curr_seqs = sum(g.get_max_num_running_seqs()
-                                for g in self.running)
-            curr_loras = {g.lora_int_id
-                          for g in self.running
-                          if g.lora_int_id > 0} if self.lora_enabled else None
-            seq_lens: List[int] = []
+    def _admit_prompts(self) -> Optional[SchedulerOutputs]:
+        """Phase 1: drain the waiting queue while budgets hold. A step
+        is either all-prompts or all-decodes; returns None when nothing
+        was admitted so the decode phases run instead."""
+        ignored: List[SequenceGroup] = []
+        admitted: List[SequenceGroup] = []
+        deferred: List[SequenceGroup] = []
+        budget = _BatchBudget.for_running(self)
 
-            while self.waiting:
-                seq_group = self.waiting[0]
-                waiting_seqs = seq_group.get_seqs(
-                    status=SequenceStatus.WAITING)
-                assert len(waiting_seqs) == 1, (
-                    "Waiting sequence group should have only one prompt "
-                    "sequence.")
-                num_prompt_tokens = waiting_seqs[0].get_len()
-                if num_prompt_tokens > self.prompt_limit:
-                    logger.warning(
-                        "Input prompt (%d tokens) is too long and exceeds "
-                        "limit of %d", num_prompt_tokens, self.prompt_limit)
-                    for seq in waiting_seqs:
-                        seq.status = SequenceStatus.FINISHED_IGNORED
-                    ignored_seq_groups.append(seq_group)
-                    self.waiting.popleft()
-                    continue
+        while self.waiting:
+            group = self.waiting[0]
+            prompt_len = group.get_seqs(
+                status=SequenceStatus.WAITING)[0].get_len()
 
-                can_allocate = self.block_manager.can_allocate(seq_group)
-                if can_allocate == AllocStatus.LATER:
-                    break
-                if can_allocate == AllocStatus.NEVER:
-                    logger.warning(
-                        "Input prompt (%d tokens) cannot be allocated even "
-                        "with an empty cache; ignoring.", num_prompt_tokens)
-                    for seq in waiting_seqs:
-                        seq.status = SequenceStatus.FINISHED_IGNORED
-                    ignored_seq_groups.append(seq_group)
-                    self.waiting.popleft()
-                    continue
-
-                # LoRA slot budget (scheduler.py:218-227).
-                if self.lora_enabled and curr_loras is not None:
-                    lora_id = seq_group.lora_int_id
-                    if (lora_id > 0 and lora_id not in curr_loras
-                            and len(curr_loras) >=
-                            self.lora_config.max_loras):
-                        break
-
-                # Token budget incl. padding to the batch max
-                # (scheduler.py:228-243).
-                new_seq_lens = seq_lens + [num_prompt_tokens]
-                num_batched_tokens = len(new_seq_lens) * max(new_seq_lens)
-                if (num_batched_tokens >
-                        self.scheduler_config.max_num_batched_tokens):
-                    break
-                num_paddings = num_batched_tokens - sum(new_seq_lens)
-                if num_paddings > self.scheduler_config.max_paddings:
-                    break
-
-                num_new_seqs = seq_group.get_max_num_running_seqs()
-                if (num_curr_seqs + num_new_seqs >
-                        self.scheduler_config.max_num_seqs):
-                    break
-
-                seq_lens = new_seq_lens
-                if self.lora_enabled and seq_group.lora_int_id > 0:
-                    curr_loras.add(seq_group.lora_int_id)
+            if prompt_len > self.prompt_limit:
                 self.waiting.popleft()
-                self._allocate(seq_group)
-                self.running.append(seq_group)
-                num_curr_seqs += num_new_seqs
-                scheduled.append(seq_group)
+                self._reject_prompt(
+                    group, f"{prompt_len} tokens > limit "
+                    f"{self.prompt_limit}", ignored)
+                continue
+            fit = self.block_manager.can_allocate(group)
+            if fit == AllocStatus.NEVER:
+                self.waiting.popleft()
+                self._reject_prompt(
+                    group, f"{prompt_len} tokens cannot fit in an empty "
+                    "KV pool", ignored)
+                continue
+            if fit == AllocStatus.LATER:
+                break
+            if budget.lora_blocked(group.lora_int_id):
+                # Skip — other adapters behind it may still fit.
+                deferred.append(self.waiting.popleft())
+                continue
+            if not budget.prompt_tokens_fit(prompt_len):
+                break
+            if not budget.seqs_fit(group.get_max_num_running_seqs()):
+                break
 
-            if scheduled or ignored_seq_groups:
-                return SchedulerOutputs(
-                    scheduled_seq_groups=scheduled,
-                    prompt_run=True,
-                    num_batched_tokens=len(seq_lens) *
-                    max(seq_lens) if seq_lens else 0,
-                    blocks_to_swap_in=blocks_to_swap_in,
-                    blocks_to_swap_out=blocks_to_swap_out,
-                    blocks_to_copy=blocks_to_copy,
-                    ignored_seq_groups=ignored_seq_groups,
-                )
+            self.waiting.popleft()
+            budget.admit(group, prompt_len=prompt_len)
+            self.block_manager.allocate(group)
+            for seq in group.get_seqs(status=SequenceStatus.WAITING):
+                seq.status = SequenceStatus.RUNNING
+            self.running.append(group)
+            admitted.append(group)
 
-        # ---- Decode phase: reserve a slot per running sequence, preempting
-        # the lowest-priority groups when HBM runs out (scheduler.py:280-298).
-        self.running = deque(self.policy.sort_by_priority(now, self.running))
+        # LoRA-deferred groups keep their queue position.
+        self.waiting.extendleft(reversed(deferred))
 
-        running: Deque[SequenceGroup] = deque()
+        if not admitted and not ignored:
+            return None
+        return SchedulerOutputs(
+            scheduled_seq_groups=admitted,
+            prompt_run=True,
+            num_batched_tokens=budget.padded_prompt_tokens,
+            blocks_to_swap_in={},
+            blocks_to_swap_out={},
+            blocks_to_copy={},
+            ignored_seq_groups=ignored,
+        )
+
+    def _plan_decode(
+        self,
+        swap_out: Dict[int, int],
+        copies: Dict[int, List[int]],
+    ) -> List[SequenceGroup]:
+        """Phase 2: guarantee a KV slot for every running candidate,
+        preempting from the back of the priority order when the pool
+        runs dry. Returns the groups preempted this step."""
+        now = time.monotonic()
+        queue = deque(self.policy.sort_by_priority(now, self.running))
+        kept: Deque[SequenceGroup] = deque()
         preempted: List[SequenceGroup] = []
-        while self.running:
-            seq_group = self.running.popleft()
-            while not self.block_manager.can_append_slot(seq_group):
-                if self.running:
-                    victim = self.running.pop()  # lowest priority
-                    self._preempt(victim, blocks_to_swap_out)
-                    preempted.append(victim)
-                else:
-                    self._preempt(seq_group, blocks_to_swap_out)
-                    preempted.append(seq_group)
-                    break
-            else:
-                self._append_slot(seq_group, blocks_to_copy)
-                running.append(seq_group)
-        self.running = running
 
-        # ---- Swap-in phase (scheduler.py:311-343).
+        while queue:
+            group = queue.popleft()
+            evicted_self = False
+            while not self.block_manager.can_append_slot(group):
+                victim = queue.pop() if queue else group
+                self._preempt(victim, swap_out)
+                preempted.append(victim)
+                if victim is group:
+                    evicted_self = True
+                    break
+            if not evicted_self:
+                self._grow_tables(group, copies)
+                kept.append(group)
+        self.running = kept
+        return preempted
+
+    def _resume_swapped(self, swap_in: Dict[int, int],
+                        copies: Dict[int, List[int]]) -> None:
+        """Phase 3: bring swapped groups back while room remains."""
+        now = time.monotonic()
+        self.swapped = deque(
+            self.policy.sort_by_priority(now, self.swapped))
+        budget = _BatchBudget.for_running(self)
+        deferred: List[SequenceGroup] = []
+
+        while self.swapped:
+            group = self.swapped[0]
+            if not self.block_manager.can_swap_in(group):
+                break
+            if budget.lora_blocked(group.lora_int_id):
+                # Skip-not-break: don't head-of-line-block other
+                # adapters (improves on reference scheduler.py:313-321).
+                deferred.append(self.swapped.popleft())
+                continue
+            if not budget.seqs_fit(group.get_max_num_running_seqs()):
+                break
+            self.swapped.popleft()
+            budget.admit(group)
+            swap_in.update(self.block_manager.swap_in(group))
+            for seq in group.get_seqs(status=SequenceStatus.SWAPPED):
+                seq.status = SequenceStatus.RUNNING
+            self._grow_tables(group, copies)
+            self.running.append(group)
+
+        self.swapped.extendleft(reversed(deferred))
+
+    def _schedule(self) -> SchedulerOutputs:
+        # Swapped groups have strictly older arrival times than waiting
+        # ones, so no prompt admission happens while any are parked.
+        if not self.swapped:
+            prompt_plan = self._admit_prompts()
+            if prompt_plan is not None:
+                return prompt_plan
+
+        swap_in: Dict[int, int] = {}
+        swap_out: Dict[int, int] = {}
+        copies: Dict[int, List[int]] = {}
+
+        preempted = self._plan_decode(swap_out, copies)
         if not preempted:
-            self.swapped = deque(
-                self.policy.sort_by_priority(now, self.swapped))
-            num_curr_seqs = sum(g.get_max_num_running_seqs()
-                                for g in self.running)
-            curr_loras = {g.lora_int_id
-                          for g in self.running
-                          if g.lora_int_id > 0} if self.lora_enabled else None
-            while self.swapped:
-                seq_group = self.swapped[0]
-                if not self.block_manager.can_swap_in(seq_group):
-                    break
-                if self.lora_enabled and curr_loras is not None:
-                    lora_id = seq_group.lora_int_id
-                    if (lora_id > 0 and lora_id not in curr_loras
-                            and len(curr_loras) >=
-                            self.lora_config.max_loras):
-                        break
-                num_new_seqs = seq_group.get_max_num_running_seqs()
-                if (num_curr_seqs + num_new_seqs >
-                        self.scheduler_config.max_num_seqs):
-                    break
-                if self.lora_enabled and seq_group.lora_int_id > 0:
-                    curr_loras.add(seq_group.lora_int_id)
-                self.swapped.popleft()
-                self._swap_in(seq_group, blocks_to_swap_in)
-                self._append_slot(seq_group, blocks_to_copy)
-                num_curr_seqs += num_new_seqs
-                self.running.append(seq_group)
-
-        num_batched_tokens = sum(
-            g.num_seqs(status=SequenceStatus.RUNNING) for g in self.running)
+            self._resume_swapped(swap_in, copies)
 
         return SchedulerOutputs(
             scheduled_seq_groups=list(self.running),
             prompt_run=False,
-            num_batched_tokens=num_batched_tokens,
-            blocks_to_swap_in=blocks_to_swap_in,
-            blocks_to_swap_out=blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy,
+            num_batched_tokens=sum(
+                g.num_seqs(status=SequenceStatus.RUNNING)
+                for g in self.running),
+            blocks_to_swap_in=swap_in,
+            blocks_to_swap_out=swap_out,
+            blocks_to_copy=copies,
             ignored_seq_groups=[],
         )
 
     def schedule(
             self) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
-        scheduler_outputs = self._schedule()
+        plan = self._schedule()
         now = time.time()
-
-        seq_group_metadata_list: List[SequenceGroupMetadata] = []
-        for seq_group in scheduler_outputs.scheduled_seq_groups:
-            if seq_group.first_scheduled_time is None:
-                seq_group.first_scheduled_time = now
-            seq_data: Dict[int, SequenceData] = {}
-            block_tables: Dict[int, List[int]] = {}
-            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+        metadata: List[SequenceGroupMetadata] = []
+        for group in plan.scheduled_seq_groups:
+            if group.first_scheduled_time is None:
+                group.first_scheduled_time = now
+            seq_data: Dict[int, TokenLog] = {}
+            tables: Dict[int, List[int]] = {}
+            for seq in group.get_seqs(status=SequenceStatus.RUNNING):
                 seq_data[seq.seq_id] = seq.data
-                block_tables[seq.seq_id] = \
-                    self.block_manager.get_block_table(seq)
-            seq_group_metadata_list.append(
+                tables[seq.seq_id] = self.block_manager.get_block_table(seq)
+            metadata.append(
                 SequenceGroupMetadata(
-                    request_id=seq_group.request_id,
-                    is_prompt=scheduler_outputs.prompt_run,
+                    request_id=group.request_id,
+                    is_prompt=plan.prompt_run,
                     seq_data=seq_data,
-                    sampling_params=seq_group.sampling_params,
-                    block_tables=block_tables,
-                    lora_request=seq_group.lora_request,
-                    prefix=seq_group.prefix,
+                    sampling_params=group.sampling_params,
+                    block_tables=tables,
+                    lora_request=group.lora_request,
+                    prefix=group.prefix,
                 ))
-        return seq_group_metadata_list, scheduler_outputs
+        return metadata, plan
 
-    def fork_seq(self, parent_seq: Sequence, child_seq: Sequence) -> None:
+    # ---- per-sequence hooks used by the engine ---------------------------
+
+    def fork_seq(self, parent_seq, child_seq) -> None:
         self.block_manager.fork(parent_seq, child_seq)
 
-    def free_seq(self, seq: Sequence) -> None:
+    def free_seq(self, seq) -> None:
         self.block_manager.free(seq)
 
     def free_finished_seq_groups(self) -> None:
         self.running = deque(g for g in self.running if not g.is_finished())
 
-    # -- internal ------------------------------------------------------------
+    # ---- internals -------------------------------------------------------
 
-    def _allocate(self, seq_group: SequenceGroup) -> None:
-        self.block_manager.allocate(seq_group)
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            seq.status = SequenceStatus.RUNNING
+    def _grow_tables(self, group: SequenceGroup,
+                     copies: Dict[int, List[int]]) -> None:
+        for seq in group.get_seqs(status=SequenceStatus.RUNNING):
+            cow = self.block_manager.append_slot(seq)
+            if cow is not None:
+                copies.setdefault(cow[0], []).append(cow[1])
 
-    def _append_slot(self, seq_group: SequenceGroup,
-                     blocks_to_copy: Dict[int, List[int]]) -> None:
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            ret = self.block_manager.append_slot(seq)
-            if ret is not None:
-                src_block, dst_block = ret
-                blocks_to_copy.setdefault(src_block, []).append(dst_block)
-
-    def _preempt(
-        self,
-        seq_group: SequenceGroup,
-        blocks_to_swap_out: Dict[int, int],
-        preemption_mode: Optional[PreemptionMode] = None,
-    ) -> None:
-        # RECOMPUTE for single-sequence groups (cheaper), SWAP otherwise
-        # (scheduler.py:437-447).
-        if preemption_mode is None:
-            if seq_group.get_max_num_running_seqs() == 1:
-                preemption_mode = PreemptionMode.RECOMPUTE
-            else:
-                preemption_mode = PreemptionMode.SWAP
-        if preemption_mode == PreemptionMode.RECOMPUTE:
-            self._preempt_by_recompute(seq_group)
+    def _preempt(self, group: SequenceGroup,
+                 swap_out: Dict[int, int],
+                 mode: Optional[PreemptionMode] = None) -> None:
+        # Lone-candidate groups are cheaper to recompute than to swap;
+        # multi-candidate groups would lose their shared-block structure
+        # on recompute, so they swap.
+        if mode is None:
+            mode = (PreemptionMode.RECOMPUTE
+                    if group.get_max_num_running_seqs() == 1
+                    else PreemptionMode.SWAP)
+        if mode == PreemptionMode.RECOMPUTE:
+            seqs = group.get_seqs(status=SequenceStatus.RUNNING)
+            assert len(seqs) == 1, "RECOMPUTE preemption needs 1 candidate"
+            seqs[0].status = SequenceStatus.WAITING
+            self.block_manager.free(seqs[0])
+            self.waiting.appendleft(group)
         else:
-            self._preempt_by_swap(seq_group, blocks_to_swap_out)
-
-    def _preempt_by_recompute(self, seq_group: SequenceGroup) -> None:
-        seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
-        assert len(seqs) == 1
-        for seq in seqs:
-            seq.status = SequenceStatus.WAITING
-            self.block_manager.free(seq)
-        # Back to the head of the waiting queue.
-        self.waiting.appendleft(seq_group)
-
-    def _preempt_by_swap(self, seq_group: SequenceGroup,
-                         blocks_to_swap_out: Dict[int, int]) -> None:
-        self._swap_out(seq_group, blocks_to_swap_out)
-        self.swapped.append(seq_group)
-
-    def _swap_in(self, seq_group: SequenceGroup,
-                 blocks_to_swap_in: Dict[int, int]) -> None:
-        mapping = self.block_manager.swap_in(seq_group)
-        blocks_to_swap_in.update(mapping)
-        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
-            seq.status = SequenceStatus.RUNNING
-
-    def _swap_out(self, seq_group: SequenceGroup,
-                  blocks_to_swap_out: Dict[int, int]) -> None:
-        if not self.block_manager.can_swap_out(seq_group):
-            # Matches the reference's fail-fast contract
-            # (core/scheduler.py:485-490).
-            raise RuntimeError(
-                "Aborted due to the lack of CPU swap space. Please increase "
-                "the swap space to avoid this error.")
-        mapping = self.block_manager.swap_out(seq_group)
-        blocks_to_swap_out.update(mapping)
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            seq.status = SequenceStatus.SWAPPED
+            if not self.block_manager.can_swap_out(group):
+                # Fail fast, like the reference: nothing recoverable
+                # can happen once host swap space is exhausted.
+                raise RuntimeError(
+                    "Host swap space exhausted while preempting; "
+                    "increase --swap-space.")
+            swap_out.update(self.block_manager.swap_out(group))
+            for seq in group.get_seqs(status=SequenceStatus.RUNNING):
+                seq.status = SequenceStatus.SWAPPED
+            self.swapped.append(group)

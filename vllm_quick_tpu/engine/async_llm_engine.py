@@ -1,18 +1,20 @@
-"""Asyncio wrapper around LLMEngine for online serving.
+"""Asyncio front-end for online serving.
 
-Reference parity: vllm/engine/async_llm_engine.py:19-639 — per-request
-``AsyncStream``s, a ``RequestTracker`` with new/aborted queues, a
-background step loop, and dead-engine error propagation to every open
-stream. TPU-native delta: there are no Ray actors or follower workers —
-the blocking jitted step runs in a thread-pool executor so the event
-loop stays responsive (the reference drives its in-process driver
-worker the same way, async_llm_engine.py:269).
+Capability parity with the reference async engine
+(vllm/engine/async_llm_engine.py): one background task drives the
+blocking engine step in a thread-pool executor while per-request
+``AsyncStream``s fan results out to any number of concurrent
+``generate`` callers; a crashed loop poisons every open stream with
+``AsyncEngineDeadError``. TPU-native delta: there are no Ray actors —
+a single in-process engine owns all chips via pjit, so the "tracker"
+is just a pair of deques drained once per loop iteration (every
+mutation happens on the event loop thread; no locks, no asyncio
+queues).
 """
 import asyncio
 import time
-from functools import partial
-from typing import (AsyncIterator, Callable, Dict, Iterable, List, Optional,
-                    Set, Tuple, Type, Union)
+from typing import (AsyncIterator, Dict, Iterable, List, Optional, Set,
+                    Tuple, Type, Union)
 
 from vllm_quick_tpu.config import ModelConfig
 from vllm_quick_tpu.engine.arg_utils import AsyncEngineArgs
@@ -23,107 +25,73 @@ from vllm_quick_tpu.sampling_params import SamplingParams
 
 logger = init_logger(__name__)
 
+# Queue sentinel closing an AsyncStream.
+_STREAM_END = object()
+
 
 class AsyncEngineDeadError(RuntimeError):
-    pass
-
-
-def _raise_exception_on_finish(task: asyncio.Task,
-                               request_tracker: "RequestTracker") -> None:
-    msg = ("Task finished unexpectedly. This should never happen! "
-           "Please open an issue on Github.")
-    try:
-        try:
-            task.result()
-        except asyncio.CancelledError:
-            return
-        except Exception as exc:
-            raise AsyncEngineDeadError(
-                msg + " See stack trace above for the actual cause.") \
-                from exc
-        raise AsyncEngineDeadError(msg)
-    except Exception as exc:
-        request_tracker.propagate_exception(exc)
-        raise exc
+    """The background engine loop is no longer running."""
 
 
 class AsyncStream:
-    """Per-request stream of RequestOutputs (reference :41-73)."""
+    """Async iterator over one request's incremental outputs."""
 
     def __init__(self, request_id: str) -> None:
         self.request_id = request_id
-        self._queue: asyncio.Queue = asyncio.Queue()
-        self._finished = False
+        self._items: asyncio.Queue = asyncio.Queue()
+        self._closed = False
 
     def put(self, item: Union[RequestOutput, Exception]) -> None:
-        if self._finished:
-            return
-        self._queue.put_nowait(item)
+        if not self._closed:
+            self._items.put_nowait(item)
 
     def finish(self) -> None:
-        self._queue.put_nowait(StopAsyncIteration())
-        self._finished = True
+        if not self._closed:
+            self._items.put_nowait(_STREAM_END)
+            self._closed = True
 
     @property
     def finished(self) -> bool:
-        return self._finished
+        return self._closed
 
-    def __aiter__(self):
+    def __aiter__(self) -> "AsyncStream":
         return self
 
     async def __anext__(self) -> RequestOutput:
-        result = await self._queue.get()
-        if isinstance(result, Exception):
-            raise result
-        return result
+        item = await self._items.get()
+        if item is _STREAM_END:
+            raise StopAsyncIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
 
 
 class RequestTracker:
-    """Synchronous abstraction for tracking requests (reference :73-172)."""
+    """Hand-off point between serving coroutines and the engine loop.
+
+    Arrivals and aborts accumulate between loop iterations; the loop
+    drains both atomically with ``get_new_and_finished_requests``.
+    """
 
     def __init__(self) -> None:
-        self._request_streams: Dict[str, AsyncStream] = {}
-        self._finished_requests: asyncio.Queue = asyncio.Queue()
-        self._new_requests: asyncio.Queue = asyncio.Queue()
+        self._streams: Dict[str, AsyncStream] = {}
+        self._arrivals: List[Tuple[AsyncStream, dict]] = []
+        self._cancellations: List[str] = []
         self.new_requests_event: Optional[asyncio.Event] = None
 
-    def __contains__(self, item) -> bool:
-        return item in self._request_streams
+    def __contains__(self, request_id) -> bool:
+        return request_id in self._streams
 
     def init_event(self) -> None:
         self.new_requests_event = asyncio.Event()
 
-    def propagate_exception(self, exc: Exception,
-                            request_id: Optional[str] = None) -> None:
-        """Propagate an exception to one or all streams."""
-        if request_id is not None:
-            self._request_streams[request_id].put(exc)
-        else:
-            for stream in self._request_streams.values():
-                stream.put(exc)
-
-    def process_request_output(self, request_output: RequestOutput,
-                               *, verbose: bool = False) -> None:
-        request_id = request_output.request_id
-        stream = self._request_streams.get(request_id)
-        if stream is None:
-            # Aborted and already cleaned up.
-            return
-        stream.put(request_output)
-        if request_output.finished:
-            if verbose:
-                logger.info("Finished request %s.", request_id)
-            self.abort_request(request_id)
-
-    def add_request(self, request_id: str,
-                    **engine_add_request_kwargs) -> AsyncStream:
-        if request_id in self._request_streams:
-            raise KeyError(f"Request {request_id} already exists.")
+    def add_request(self, request_id: str, **engine_kwargs) -> AsyncStream:
+        if request_id in self._streams or any(
+                s.request_id == request_id for s, _ in self._arrivals):
+            raise KeyError(f"Duplicate request id {request_id}")
         stream = AsyncStream(request_id)
-        self._new_requests.put_nowait((stream, {
-            "request_id": request_id,
-            **engine_add_request_kwargs
-        }))
+        self._arrivals.append(
+            (stream, {"request_id": request_id, **engine_kwargs}))
         if self.new_requests_event is not None:
             self.new_requests_event.set()
         return stream
@@ -132,53 +100,66 @@ class RequestTracker:
                       verbose: bool = False) -> None:
         if verbose:
             logger.info("Aborted request %s.", request_id)
-        self._finished_requests.put_nowait(request_id)
-        stream = self._request_streams.pop(request_id, None)
-        if stream is not None and not stream.finished:
+        self._cancellations.append(request_id)
+        stream = self._streams.pop(request_id, None)
+        if stream is not None:
             stream.finish()
 
-    def get_new_and_finished_requests(self) -> Tuple[List[Dict], Set[str]]:
-        """Drain queues; used once per engine-loop iteration."""
-        new_requests: List[Dict] = []
-        finished_requests: Set[str] = set()
+    def process_request_output(self, output: RequestOutput, *,
+                               verbose: bool = False) -> None:
+        stream = self._streams.get(output.request_id)
+        if stream is None:
+            return  # aborted while the step ran
+        stream.put(output)
+        if output.finished:
+            if verbose:
+                logger.info("Finished request %s.", output.request_id)
+            self.abort_request(output.request_id)
 
-        while not self._finished_requests.empty():
-            request_id = self._finished_requests.get_nowait()
-            finished_requests.add(request_id)
-            self._request_streams.pop(request_id, None)
+    def propagate_exception(self, exc: Exception,
+                            request_id: Optional[str] = None) -> None:
+        targets = ([self._streams[request_id]] if request_id is not None
+                   else list(self._streams.values()))
+        for stream in targets:
+            stream.put(exc)
 
-        while not self._new_requests.empty():
-            stream, new_request = self._new_requests.get_nowait()
-            if stream.request_id in finished_requests:
-                # Aborted before it ever reached the engine.
+    def get_new_and_finished_requests(self) -> Tuple[List[dict], Set[str]]:
+        cancelled = set(self._cancellations)
+        self._cancellations.clear()
+        for rid in cancelled:
+            self._streams.pop(rid, None)
+
+        fresh: List[dict] = []
+        for stream, kwargs in self._arrivals:
+            if stream.request_id in cancelled:
+                # Aborted before the engine ever saw it.
                 stream.finish()
                 continue
-            self._request_streams[stream.request_id] = stream
-            new_requests.append(new_request)
+            self._streams[stream.request_id] = stream
+            fresh.append(kwargs)
+        self._arrivals.clear()
 
         if self.new_requests_event is not None:
             self.new_requests_event.clear()
-        return new_requests, finished_requests
+        return fresh, cancelled
 
     async def wait_for_new_requests(self) -> None:
         await self.new_requests_event.wait()
 
 
 class _AsyncLLMEngine(LLMEngine):
-    """LLMEngine with the blocking step pushed off the event loop
-    (reference :175-279)."""
+    """LLMEngine whose blocking step runs off the event loop."""
 
     async def step_async(self) -> List[RequestOutput]:
-        loop = asyncio.get_event_loop()
-        return await loop.run_in_executor(None, self.step)
+        return await asyncio.get_event_loop().run_in_executor(
+            None, self.step)
 
     async def add_request_async(self, *args, **kwargs) -> None:
         return self.add_request(*args, **kwargs)
 
 
 class AsyncLLMEngine:
-    """Async wrapper that multiplexes many concurrent ``generate`` calls
-    onto the single engine loop (reference :280-639)."""
+    """Multiplexes concurrent ``generate`` calls onto one engine loop."""
 
     _engine_class: Type[_AsyncLLMEngine] = _AsyncLLMEngine
 
@@ -188,14 +169,16 @@ class AsyncLLMEngine:
         self.log_requests = log_requests
         self.max_log_len = max_log_len
         self.engine = self._init_engine(*args, **kwargs)
-        self.background_loop: Optional[asyncio.Future] = None
-        self._background_loop_unshielded = None
         self.start_engine_loop = start_engine_loop
+        self.background_loop: Optional[asyncio.Future] = None
+        self._loop_task: Optional[asyncio.Task] = None
         self._request_tracker = RequestTracker()
         self._errored_with: Optional[BaseException] = None
 
     def _init_engine(self, *args, **kwargs) -> _AsyncLLMEngine:
         return self._engine_class(*args, **kwargs)
+
+    # ---- loop lifecycle --------------------------------------------------
 
     @property
     def is_running(self) -> bool:
@@ -209,64 +192,66 @@ class AsyncLLMEngine:
     def start_background_loop(self) -> None:
         if self.errored:
             raise AsyncEngineDeadError(
-                "Background loop has errored already.") \
-                from self._errored_with
+                "Engine loop already crashed.") from self._errored_with
         if self.is_running:
-            raise RuntimeError("Background loop is already running.")
+            raise RuntimeError("Engine loop already running.")
         self._request_tracker.init_event()
-        self._background_loop_unshielded = asyncio.get_event_loop(
-        ).create_task(self.run_engine_loop())
-        self._background_loop_unshielded.add_done_callback(
-            self._mark_errored)
-        self._background_loop_unshielded.add_done_callback(
-            partial(_raise_exception_on_finish,
-                    request_tracker=self._request_tracker))
-        self.background_loop = asyncio.shield(
-            self._background_loop_unshielded)
+        self._loop_task = asyncio.get_event_loop().create_task(
+            self.run_engine_loop())
+        self._loop_task.add_done_callback(self._on_loop_done)
+        # Shielded so a caller cancelling `generate` can't kill the loop.
+        self.background_loop = asyncio.shield(self._loop_task)
 
-    def _mark_errored(self, task: asyncio.Task) -> None:
+    def _on_loop_done(self, task: asyncio.Task) -> None:
+        """Record the crash and poison every open stream."""
         if task.cancelled():
             return
         exc = task.exception()
-        if exc is not None:
-            self._errored_with = exc
+        if exc is None:
+            exc = AsyncEngineDeadError(
+                "Engine loop stopped without an exception — this is a "
+                "bug; please report it.")
+        self._errored_with = exc
+        wrapped = AsyncEngineDeadError(
+            f"Engine loop died: {exc!r}")
+        wrapped.__cause__ = exc
+        self._request_tracker.propagate_exception(wrapped)
+        logger.error("Engine loop died", exc_info=exc)
 
     async def engine_step(self) -> bool:
-        """One loop iteration. Returns True if there is in-flight work."""
-        new_requests, finished_requests = (
+        """One iteration: feed arrivals/aborts, step, fan out results.
+        Returns whether any request is still in flight."""
+        arrivals, cancelled = (
             self._request_tracker.get_new_and_finished_requests())
 
-        for new_request in new_requests:
+        for kwargs in arrivals:
             try:
-                await self.engine.add_request_async(**new_request)
+                await self.engine.add_request_async(**kwargs)
             except ValueError as e:
-                # Bad request (e.g. too long): fail only that stream.
-                self._request_tracker.propagate_exception(
-                    e, new_request["request_id"])
-                self._request_tracker.abort_request(
-                    new_request["request_id"])
+                # Invalid request (e.g. over the model limit): fail only
+                # its own stream.
+                rid = kwargs["request_id"]
+                self._request_tracker.propagate_exception(e, rid)
+                self._request_tracker.abort_request(rid)
 
-        if finished_requests:
-            self._engine_abort(finished_requests)
+        if cancelled:
+            self.engine.abort_request(cancelled)
 
-        request_outputs = await self.engine.step_async()
-
-        for request_output in request_outputs:
+        outputs = await self.engine.step_async()
+        for output in outputs:
             self._request_tracker.process_request_output(
-                request_output, verbose=self.log_requests)
-
-        return len(request_outputs) > 0
-
-    def _engine_abort(self, request_ids: Iterable[str]) -> None:
-        self.engine.abort_request(request_ids)
+                output, verbose=self.log_requests)
+        return bool(outputs)
 
     async def run_engine_loop(self) -> None:
-        has_requests_in_progress = False
+        busy = False
         while True:
-            if not has_requests_in_progress:
+            if not busy:
                 await self._request_tracker.wait_for_new_requests()
-            has_requests_in_progress = await self.engine_step()
+            busy = await self.engine_step()
             await asyncio.sleep(0)
+
+    # ---- request API -----------------------------------------------------
 
     async def add_request(
         self,
@@ -279,19 +264,17 @@ class AsyncLLMEngine:
         prefix_pos: Optional[int] = None,
     ) -> AsyncStream:
         if self.log_requests:
-            shortened = prompt
-            if self.max_log_len is not None and shortened is not None:
-                shortened = shortened[:self.max_log_len]
-            logger.info("Received request %s: prompt: %r, params: %s.",
-                        request_id, shortened, sampling_params)
+            preview = prompt if self.max_log_len is None else \
+                (prompt or "")[:self.max_log_len]
+            logger.info("Received request %s: prompt=%r params=%s",
+                        request_id, preview, sampling_params)
         if not self.is_running:
-            if self.start_engine_loop:
-                self.start_background_loop()
-            else:
+            if not self.start_engine_loop:
                 raise AsyncEngineDeadError(
-                    "Background loop is not running. Start it with "
-                    "`start_background_loop()` or set "
+                    "Engine loop is not running; call "
+                    "start_background_loop() or pass "
                     "start_engine_loop=True.")
+            self.start_background_loop()
         return self._request_tracker.add_request(
             request_id,
             prompt=prompt,
@@ -311,24 +294,22 @@ class AsyncLLMEngine:
         lora_request=None,
         prefix_pos: Optional[int] = None,
     ) -> AsyncIterator[RequestOutput]:
-        """Yield RequestOutputs for one request as they become available
-        (reference :477-560)."""
+        """Stream a request's outputs; aborts it on caller cancel."""
         try:
             stream = await self.add_request(
                 request_id, prompt, sampling_params,
                 prompt_token_ids=prompt_token_ids,
                 lora_request=lora_request, prefix_pos=prefix_pos)
-            async for request_output in stream:
-                yield request_output
-        except (Exception, asyncio.CancelledError) as e:
+            async for output in stream:
+                yield output
+        except (Exception, asyncio.CancelledError):
             self._abort(request_id)
-            raise e
+            raise
 
     async def abort(self, request_id: str) -> None:
         if not self.is_running:
-            raise AsyncEngineDeadError(
-                "Background loop is not running.")
-        return self._abort(request_id)
+            raise AsyncEngineDeadError("Engine loop is not running.")
+        self._abort(request_id)
 
     def _abort(self, request_id: str) -> None:
         self._request_tracker.abort_request(request_id,
@@ -340,8 +321,8 @@ class AsyncLLMEngine:
     @classmethod
     def from_engine_args(cls,
                          engine_args: AsyncEngineArgs) -> "AsyncLLMEngine":
-        engine_configs = engine_args.create_engine_configs()
-        return cls(*engine_configs,
+        configs = engine_args.create_engine_configs()
+        return cls(*configs,
                    log_requests=not engine_args.disable_log_requests,
                    log_stats=not engine_args.disable_log_stats,
                    max_log_len=engine_args.max_log_len,

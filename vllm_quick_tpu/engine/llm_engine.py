@@ -480,7 +480,12 @@ class LLMEngine:
             if prompt_run and g.first_scheduled_time is not None:
                 time_to_first_tokens.append(now - g.arrival_time)
             elif not prompt_run:
-                pass
+                # Inter-token latency (TPOT): gap since this group's
+                # previous emitted token.
+                prev = getattr(g, "last_token_time", None)
+                if prev is not None:
+                    time_per_output_tokens.append(now - prev)
+            g.last_token_time = now
             if g.is_finished():
                 time_e2e_requests.append(now - g.arrival_time)
 

@@ -218,8 +218,10 @@ class ParamBuilder:
                                      col_range)
         qs, zs, ss = [], [], []
         perm = None
+        perms = []
         for p, units in zip(prefixes, part_units):
             q, z, s, pm = self._canonical_quant(p)
+            perms.append(pm)
             if shard == "col":
                 st, c = col_range(q.shape[1], units)
                 q, z, s = q[:, st:st + c], z[:, st:st + c], s[:, st:st + c]
@@ -237,11 +239,28 @@ class ParamBuilder:
                 gl = k_local // g
                 z = z[self.tp_rank * gl:(self.tp_rank + 1) * gl]
                 s = s[self.tp_rank * gl:(self.tp_rank + 1) * gl]
-            if pm is not None:
-                perm = pm
             qs.append(q)
             zs.append(z)
             ss.append(s)
+        # GPTQ act-order: the runtime gathers the activation ONCE for the
+        # whole fused weight, so every fused part must have been permuted
+        # by the same g_idx (None = identity). Differing permutations
+        # would silently mis-permute K for some parts — refuse instead.
+        if any(pm is not None for pm in perms):
+            k_full = next(len(pm) for pm in perms if pm is not None)
+            ident = np.arange(k_full, dtype=np.int32)
+            resolved = [pm if pm is not None else ident for pm in perms]
+            for pm in resolved[1:]:
+                if not np.array_equal(resolved[0], pm):
+                    raise ValueError(
+                        "GPTQ act-order (desc_act) g_idx permutations "
+                        f"differ across fused shards {list(prefixes)}; "
+                        "fused QKV/gate-up loading requires an identical "
+                        "permutation for every part. Re-export the "
+                        "checkpoint without desc_act or with a shared "
+                        "g_idx.")
+            if not np.array_equal(resolved[0], ident):
+                perm = resolved[0]
         q = np.concatenate(qs, axis=1) if len(qs) > 1 else qs[0]
         z = np.concatenate(zs, axis=1) if len(zs) > 1 else zs[0]
         s = np.concatenate(ss, axis=1) if len(ss) > 1 else ss[0]

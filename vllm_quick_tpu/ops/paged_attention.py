@@ -107,9 +107,17 @@ def _decode_kernel(
         # sequential block allocator. Scalar SMEM reads; cheap.
         first = block_tables_ref[b, g * _W]
         ok = (g + 1) * _W <= num_blocks
+        mb = block_tables_ref.shape[1]
         for w in range(1, _W):
+            # Clamp the column index: the tail group would otherwise read
+            # up to ceil(MB/_W)*_W - 1, out of bounds when the padded
+            # table width is not a multiple of _W. `ok` is already False
+            # for any group extending past num_blocks, so the clamped
+            # value never affects the decision.
+            idx = min(g * _W + w, mb - 1) if isinstance(g, int) else \
+                jnp.minimum(g * _W + w, mb - 1)
             ok = jnp.logical_and(
-                ok, block_tables_ref[b, g * _W + w] == first + w)
+                ok, block_tables_ref[b, idx] == first + w)
         return ok
 
     def start_group(g):

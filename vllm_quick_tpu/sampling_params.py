@@ -1,18 +1,19 @@
-"""Sampling parameters for text generation.
+"""Per-request sampling parameters.
 
-Capability parity with the reference's SamplingParams
-(reference: vllm/sampling_params.py:1-257): n/best_of, the three penalty
-families, temperature, top-p/top-k/min-p, beam-search knobs, stop
-strings/token-ids, logprobs, and user logits processors.
+Capability parity with the reference surface (vllm/sampling_params.py):
+n/best_of, the three penalty families, temperature/top-p/top-k/min-p,
+beam-search knobs, stop strings/ids, logprobs, seeded sampling, and
+user logits processors — implemented as a dataclass with a declarative
+range table driving validation.
 """
+from dataclasses import dataclass, field, fields
 from enum import IntEnum
-from functools import cached_property
 from typing import Any, Callable, List, Optional, Union
 
-_SAMPLING_EPS = 1e-5
+_EPS = 1e-5
 
-# A logits processor maps (generated_token_ids, logits) -> logits. Logits
-# arrive as a 1-D numpy/jax array on host; processors run on the driver.
+# A logits processor maps (generated_token_ids, logits) -> logits.
+# Logits arrive as a 1-D float32 numpy array on the driver host.
 LogitsProcessor = Callable[[List[int], Any], Any]
 
 
@@ -22,158 +23,146 @@ class SamplingType(IntEnum):
     BEAM = 2
 
 
+# field -> (low, high, low_open, high_open); None bound = unbounded.
+_NUMERIC_RANGES = {
+    "presence_penalty": (-2.0, 2.0, False, False),
+    "frequency_penalty": (-2.0, 2.0, False, False),
+    "repetition_penalty": (0.0, 2.0, True, False),
+    "temperature": (0.0, None, False, False),
+    "top_p": (0.0, 1.0, True, False),
+    "min_p": (0.0, 1.0, False, False),
+    "max_tokens": (1, None, False, False),
+}
+
+
+@dataclass
 class SamplingParams:
-    """Sampling knobs for one request.
+    """Sampling knobs for one request (OpenAI semantics plus beam
+    search, min_p and repetition penalty)."""
 
-    Follows the OpenAI API semantics plus beam search, min_p and
-    repetition penalty, matching the reference engine's surface.
-    """
+    n: int = 1
+    best_of: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    min_p: float = 0.0
+    seed: Optional[int] = None
+    use_beam_search: bool = False
+    length_penalty: float = 1.0
+    early_stopping: Union[bool, str] = False
+    stop: Optional[Union[str, List[str]]] = None
+    stop_token_ids: Optional[List[int]] = None
+    include_stop_str_in_output: bool = False
+    ignore_eos: bool = False
+    max_tokens: int = 16
+    logprobs: Optional[int] = None
+    prompt_logprobs: Optional[int] = None
+    skip_special_tokens: bool = True
+    spaces_between_special_tokens: bool = True
+    logits_processors: Optional[List[LogitsProcessor]] = None
 
-    def __init__(
-        self,
-        n: int = 1,
-        best_of: Optional[int] = None,
-        presence_penalty: float = 0.0,
-        frequency_penalty: float = 0.0,
-        repetition_penalty: float = 1.0,
-        temperature: float = 1.0,
-        top_p: float = 1.0,
-        top_k: int = -1,
-        min_p: float = 0.0,
-        seed: Optional[int] = None,
-        use_beam_search: bool = False,
-        length_penalty: float = 1.0,
-        early_stopping: Union[bool, str] = False,
-        stop: Optional[Union[str, List[str]]] = None,
-        stop_token_ids: Optional[List[int]] = None,
-        include_stop_str_in_output: bool = False,
-        ignore_eos: bool = False,
-        max_tokens: int = 16,
-        logprobs: Optional[int] = None,
-        prompt_logprobs: Optional[int] = None,
-        skip_special_tokens: bool = True,
-        spaces_between_special_tokens: bool = True,
-        logits_processors: Optional[List[LogitsProcessor]] = None,
-    ) -> None:
-        self.n = n
-        self.best_of = best_of if best_of is not None else n
-        self.presence_penalty = presence_penalty
-        self.frequency_penalty = frequency_penalty
-        self.repetition_penalty = repetition_penalty
-        self.temperature = temperature
-        self.top_p = top_p
-        self.top_k = top_k
-        self.min_p = min_p
-        self.seed = seed
-        self.use_beam_search = use_beam_search
-        self.length_penalty = length_penalty
-        self.early_stopping = early_stopping
-        if stop is None:
-            self.stop: List[str] = []
-        elif isinstance(stop, str):
-            self.stop = [stop]
+    def __post_init__(self) -> None:
+        if self.best_of is None:
+            self.best_of = self.n
+        if self.stop is None:
+            self.stop = []
+        elif isinstance(self.stop, str):
+            self.stop = [self.stop]
         else:
-            self.stop = list(stop)
-        self.stop_token_ids: List[int] = list(stop_token_ids or [])
-        self.include_stop_str_in_output = include_stop_str_in_output
-        self.ignore_eos = ignore_eos
-        self.max_tokens = max_tokens
-        self.logprobs = logprobs
-        self.prompt_logprobs = prompt_logprobs
-        self.skip_special_tokens = skip_special_tokens
-        self.spaces_between_special_tokens = spaces_between_special_tokens
-        self.logits_processors = logits_processors or []
+            self.stop = list(self.stop)
+        self.stop_token_ids = list(self.stop_token_ids or [])
+        self.logits_processors = self.logits_processors or []
 
-        self._verify_args()
+        self._check_ranges()
+        self._check_counts()
         if self.use_beam_search:
-            self._verify_beam_search()
+            self._check_beam_mode()
         else:
-            self._verify_non_beam_search()
-            if self.temperature < _SAMPLING_EPS:
-                # Greedy: top-p/top-k have no effect; normalize them.
-                self.top_p = 1.0
-                self.top_k = -1
-                self.min_p = 0.0
+            self._check_sampling_mode()
 
-    def _verify_args(self) -> None:
+    # ---- validation ------------------------------------------------------
+
+    def _check_ranges(self) -> None:
+        for name, (lo, hi, lo_open, hi_open) in _NUMERIC_RANGES.items():
+            v = getattr(self, name)
+            bad = ((lo is not None and (v < lo or (lo_open and v == lo)))
+                   or (hi is not None and (v > hi or (hi_open and v == hi))))
+            if bad:
+                lob = "(" if lo_open else "["
+                hib = ")" if hi_open else "]"
+                lo_s = "-inf" if lo is None else lo
+                hi_s = "inf" if hi is None else hi
+                raise ValueError(
+                    f"{name}={v} outside {lob}{lo_s}, {hi_s}{hib}")
+        if self.top_k == 0 or self.top_k < -1:
+            raise ValueError(
+                f"top_k={self.top_k}; use -1 to disable or a value >= 1")
+        for name in ("logprobs", "prompt_logprobs"):
+            v = getattr(self, name)
+            if v is not None and v < 0:
+                raise ValueError(f"{name}={v} must be >= 0")
+
+    def _check_counts(self) -> None:
         if self.n < 1:
-            raise ValueError(f"n must be at least 1, got {self.n}.")
+            raise ValueError(f"n={self.n} must be >= 1")
         if self.best_of < self.n:
             raise ValueError(
-                f"best_of must be >= n, got n={self.n}, best_of={self.best_of}.")
-        if not -2.0 <= self.presence_penalty <= 2.0:
-            raise ValueError(
-                f"presence_penalty must be in [-2, 2], got {self.presence_penalty}.")
-        if not -2.0 <= self.frequency_penalty <= 2.0:
-            raise ValueError(
-                f"frequency_penalty must be in [-2, 2], got {self.frequency_penalty}.")
-        if not 0.0 < self.repetition_penalty <= 2.0:
-            raise ValueError(
-                f"repetition_penalty must be in (0, 2], got {self.repetition_penalty}.")
-        if self.temperature < 0.0:
-            raise ValueError(
-                f"temperature must be non-negative, got {self.temperature}.")
-        if not 0.0 < self.top_p <= 1.0:
-            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}.")
-        if self.top_k < -1 or self.top_k == 0:
-            raise ValueError(
-                f"top_k must be -1 (disable) or at least 1, got {self.top_k}.")
-        if not 0.0 <= self.min_p <= 1.0:
-            raise ValueError(f"min_p must be in [0, 1], got {self.min_p}.")
-        if self.max_tokens < 1:
-            raise ValueError(
-                f"max_tokens must be at least 1, got {self.max_tokens}.")
-        if self.logprobs is not None and self.logprobs < 0:
-            raise ValueError(
-                f"logprobs must be non-negative, got {self.logprobs}.")
-        if self.prompt_logprobs is not None and self.prompt_logprobs < 0:
-            raise ValueError(
-                f"prompt_logprobs must be non-negative, got {self.prompt_logprobs}.")
+                f"best_of={self.best_of} must be >= n={self.n}")
 
-    def _verify_beam_search(self) -> None:
+    def _check_beam_mode(self) -> None:
+        problems = []
         if self.best_of == 1:
-            raise ValueError(
-                f"best_of must be > 1 for beam search, got {self.best_of}.")
-        if self.temperature > _SAMPLING_EPS:
-            raise ValueError("temperature must be 0 for beam search.")
-        if self.top_p < 1.0 - _SAMPLING_EPS:
-            raise ValueError("top_p must be 1 for beam search.")
+            problems.append("best_of must be > 1")
+        if self.temperature > _EPS:
+            problems.append("temperature must be 0")
+        if self.top_p < 1.0 - _EPS:
+            problems.append("top_p must be 1")
         if self.top_k != -1:
-            raise ValueError("top_k must be -1 for beam search.")
+            problems.append("top_k must be -1")
         if self.early_stopping not in (True, False, "never"):
+            problems.append(
+                "early_stopping must be True, False or 'never'")
+        if problems:
             raise ValueError(
-                "early_stopping must be True, False, or 'never', "
-                f"got {self.early_stopping}.")
+                "invalid beam-search params: " + "; ".join(problems))
 
-    def _verify_non_beam_search(self) -> None:
+    def _check_sampling_mode(self) -> None:
         if self.early_stopping is not False:
             raise ValueError(
-                "early_stopping is only used with beam search.")
-        if self.length_penalty < 1.0 - _SAMPLING_EPS or \
-                self.length_penalty > 1.0 + _SAMPLING_EPS:
+                "early_stopping only applies to beam search")
+        if abs(self.length_penalty - 1.0) > _EPS:
             raise ValueError(
-                "length_penalty is only used with beam search.")
-        if self.best_of > 1 and self.temperature < _SAMPLING_EPS:
+                "length_penalty only applies to beam search")
+        greedy = self.temperature < _EPS
+        if greedy and self.best_of > 1:
             raise ValueError(
-                "best_of must be 1 when using greedy sampling.")
+                f"greedy sampling is deterministic; best_of="
+                f"{self.best_of} > 1 is meaningless")
+        if greedy:
+            # top-p/top-k/min-p are no-ops at temperature 0; normalize
+            # so the batched sampler buckets greedy rows together.
+            self.top_p = 1.0
+            self.top_k = -1
+            self.min_p = 0.0
 
-    @cached_property
+    # ---- views -----------------------------------------------------------
+
+    @property
     def sampling_type(self) -> SamplingType:
         if self.use_beam_search:
             return SamplingType.BEAM
-        if self.temperature < _SAMPLING_EPS:
+        if self.temperature < _EPS:
             return SamplingType.GREEDY
         return SamplingType.RANDOM
 
     def __repr__(self) -> str:
-        return (
-            f"SamplingParams(n={self.n}, best_of={self.best_of}, "
-            f"presence_penalty={self.presence_penalty}, "
-            f"frequency_penalty={self.frequency_penalty}, "
-            f"repetition_penalty={self.repetition_penalty}, "
-            f"temperature={self.temperature}, top_p={self.top_p}, "
-            f"top_k={self.top_k}, min_p={self.min_p}, seed={self.seed}, "
-            f"use_beam_search={self.use_beam_search}, "
-            f"stop={self.stop}, stop_token_ids={self.stop_token_ids}, "
-            f"ignore_eos={self.ignore_eos}, max_tokens={self.max_tokens}, "
-            f"logprobs={self.logprobs}, prompt_logprobs={self.prompt_logprobs})")
+        parts = []
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if f.name == "logits_processors":
+                v = f"<{len(v)} processors>" if v else None
+            parts.append(f"{f.name}={v!r}")
+        return f"SamplingParams({', '.join(parts)})"

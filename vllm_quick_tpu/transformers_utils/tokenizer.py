@@ -1,10 +1,15 @@
-"""Tokenizer management + incremental detokenization.
+"""Tokenizer loading + streaming detokenization.
 
-Reference parity: vllm/transformers_utils/tokenizer.py:91-245 —
-get_tokenizer with slow/fast modes, TokenizerGroup with per-LoRA
-tokenizers, and the prefix/read-offset incremental detokenizer.
+Capability parity with the reference tokenizer layer
+(vllm/transformers_utils/tokenizer.py): slow/fast loading, per-LoRA
+adapter tokenizers, and incremental decode that never emits half of a
+multi-byte character. The streaming algorithm is the standard
+two-cursor window scheme: keep a ``prefix`` cursor marking text already
+emitted and a ``read`` cursor marking tokens already *rendered*; each
+step re-renders the tail window and emits only the stable suffix.
 """
-from typing import List, Optional, Tuple, Union
+import itertools
+from typing import List, Optional, Sequence, Tuple, Union
 
 from transformers import (AutoTokenizer, PreTrainedTokenizer,
                           PreTrainedTokenizerFast)
@@ -15,7 +20,14 @@ logger = init_logger(__name__)
 
 AnyTokenizer = Union[PreTrainedTokenizer, PreTrainedTokenizerFast]
 
-INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET = 5
+# How many trailing tokens get re-rendered on the first decode step;
+# enough to absorb any BPE merge across the prompt/output boundary.
+_TAIL_WINDOW = 5
+INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET = _TAIL_WINDOW
+
+# Unicode replacement char: a trailing one means the byte-level decoder
+# stopped mid-codepoint, so the text is not yet stable.
+_UNSTABLE_TAIL = "�"
 
 
 def get_tokenizer(
@@ -29,7 +41,7 @@ def get_tokenizer(
     if tokenizer_mode == "slow":
         if kwargs.get("use_fast", False):
             raise ValueError(
-                "Cannot use the fast tokenizer in slow tokenizer mode.")
+                "tokenizer_mode='slow' conflicts with use_fast=True.")
         kwargs["use_fast"] = False
     tokenizer = AutoTokenizer.from_pretrained(
         tokenizer_name,
@@ -40,13 +52,13 @@ def get_tokenizer(
     )
     if not isinstance(tokenizer, PreTrainedTokenizerFast):
         logger.warning(
-            "Using a slow tokenizer. This will likely slow down the "
-            "engine; consider a fast-tokenizer model variant.")
+            "Loaded a slow (Python) tokenizer for %s; detokenization "
+            "will bottleneck the engine step loop.", tokenizer_name)
     return tokenizer
 
 
 class TokenizerGroup:
-    """Holds the base tokenizer plus per-LoRA-adapter tokenizers."""
+    """The base tokenizer plus lazily-loaded per-adapter tokenizers."""
 
     def __init__(self, tokenizer_id: str, enable_lora: bool = False,
                  max_input_length: Optional[int] = None,
@@ -56,12 +68,11 @@ class TokenizerGroup:
         self.enable_lora = enable_lora
         self.max_input_length = max_input_length
         self.tokenizer = get_tokenizer(tokenizer_id, **tokenizer_config)
-        self.lora_tokenizers = {}
+        self._adapter_tokenizers = {}
 
     def encode(self, prompt: str, request_id: Optional[str] = None,
                lora_request=None) -> List[int]:
-        tokenizer = self.get_lora_tokenizer(lora_request)
-        return tokenizer.encode(prompt)
+        return self.get_lora_tokenizer(lora_request).encode(prompt)
 
     async def encode_async(self, prompt: str,
                            request_id: Optional[str] = None,
@@ -72,44 +83,44 @@ class TokenizerGroup:
         if not lora_request or not self.enable_lora:
             return self.tokenizer
         key = lora_request.lora_int_id
-        if key not in self.lora_tokenizers:
+        tok = self._adapter_tokenizers.get(key)
+        if tok is None:
             try:
                 tok = get_tokenizer(lora_request.lora_local_path,
                                     **self.tokenizer_config)
             except Exception:
-                # No tokenizer shipped with the adapter: use the base
-                # model's (reference tokenizer.py:121 fallback).
+                # Adapter ships no tokenizer: fall back to the base.
                 tok = self.tokenizer
-            self.lora_tokenizers[key] = tok
-        return self.lora_tokenizers[key]
+            self._adapter_tokenizers[key] = tok
+        return tok
 
 
-def _convert_tokens_to_string_with_added_encoders(
-    tokenizer: AnyTokenizer,
-    output_tokens: List[str],
-    skip_special_tokens: bool,
-    spaces_between_special_tokens: bool,
-) -> str:
-    sub_texts: List[str] = []
-    current_sub_text: List[str] = []
-    all_special_tokens = set(tokenizer.all_special_tokens)
-    for token in output_tokens:
-        if skip_special_tokens and token in all_special_tokens:
-            continue
-        if token in tokenizer.get_added_vocab():
-            if current_sub_text:
-                sub_texts.append(
-                    tokenizer.convert_tokens_to_string(current_sub_text))
-                current_sub_text = []
-            sub_texts.append(token)
+def _ids_to_tokens(tokenizer: AnyTokenizer, ids: Sequence[int],
+                   skip_special: bool) -> List[str]:
+    toks = tokenizer.convert_ids_to_tokens(
+        list(ids), skip_special_tokens=skip_special)
+    # Ids past the tokenizer vocab (padded model vocab) come back None.
+    return ["" if t is None else t for t in toks]
+
+
+def _render(tokenizer: AnyTokenizer, tokens: List[str],
+            skip_special: bool, spaces_between_special: bool) -> str:
+    """Tokens -> text. Added-vocab tokens (chat markers etc.) are not
+    part of the underlying BPE merge space, so they pass through
+    verbatim while the runs between them go through the tokenizer's
+    own string converter."""
+    added = tokenizer.get_added_vocab()
+    if not added:
+        return tokenizer.convert_tokens_to_string(tokens)
+    drop = set(tokenizer.all_special_tokens) if skip_special else ()
+    pieces: List[str] = []
+    kept = (t for t in tokens if t not in drop)
+    for is_added, run in itertools.groupby(kept, key=added.__contains__):
+        if is_added:
+            pieces.extend(run)
         else:
-            current_sub_text.append(token)
-    if current_sub_text:
-        sub_texts.append(
-            tokenizer.convert_tokens_to_string(current_sub_text))
-    if spaces_between_special_tokens:
-        return " ".join(sub_texts)
-    return "".join(sub_texts)
+            pieces.append(tokenizer.convert_tokens_to_string(list(run)))
+    return (" " if spaces_between_special else "").join(pieces)
 
 
 def detokenize_incrementally(
@@ -121,50 +132,37 @@ def detokenize_incrementally(
     skip_special_tokens: bool = False,
     spaces_between_special_tokens: bool = True,
 ) -> Tuple[List[str], str, int, int]:
-    """Streaming detokenization with replacement-char suppression.
+    """Advance a streaming decode by the newest token id.
 
-    Returns (new_tokens, new_decoded_text, prefix_offset, read_offset);
-    same contract as the reference (tokenizer.py:185+).
+    Returns (appended_tokens, emitted_text, prefix_offset, read_offset).
+    Emits nothing while the rendered tail ends in a replacement char
+    (incomplete UTF-8 sequence spanning token boundaries).
     """
-    new_token_id = all_input_ids[-1]
-    if skip_special_tokens and new_token_id in getattr(
-            tokenizer, "all_special_ids", []):
+    newest = all_input_ids[-1]
+    if skip_special_tokens and newest in getattr(
+            tokenizer, "all_special_ids", ()):
         return [], "", prefix_offset, read_offset
 
-    def _to_tokens(ids):
-        toks = tokenizer.convert_ids_to_tokens(
-            ids, skip_special_tokens=skip_special_tokens)
-        # Ids beyond the tokenizer vocab (padded model vocabs) map to "".
-        return [t if t is not None else "" for t in toks]
-
     if prev_tokens is None:
-        new_tokens = _to_tokens(all_input_ids)
-        output_tokens = new_tokens
-        prefix_offset = max(
-            len(output_tokens) - INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET,
-            0)
-        read_offset = max(len(output_tokens) - 1, 0)
+        # First call for this sequence: render the whole history once
+        # and place the cursors over the tail window.
+        tokens = _ids_to_tokens(tokenizer, all_input_ids,
+                                skip_special_tokens)
+        appended = tokens
+        prefix_offset = max(len(tokens) - _TAIL_WINDOW, 0)
+        read_offset = max(len(tokens) - 1, 0)
     else:
-        new_tokens = _to_tokens([new_token_id])
-        output_tokens = prev_tokens + new_tokens
+        appended = _ids_to_tokens(tokenizer, [newest],
+                                  skip_special_tokens)
+        tokens = prev_tokens + appended
 
-    # Try decoding the text window; only emit once it stops changing in a
-    # way that indicates an incomplete multibyte sequence.
-    has_added = bool(tokenizer.get_added_vocab())
-    if has_added:
-        prefix_text = _convert_tokens_to_string_with_added_encoders(
-            tokenizer, output_tokens[prefix_offset:read_offset],
-            skip_special_tokens, spaces_between_special_tokens)
-        new_text = _convert_tokens_to_string_with_added_encoders(
-            tokenizer, output_tokens[prefix_offset:],
-            skip_special_tokens, spaces_between_special_tokens)
-    else:
-        prefix_text = tokenizer.convert_tokens_to_string(
-            output_tokens[prefix_offset:read_offset])
-        new_text = tokenizer.convert_tokens_to_string(
-            output_tokens[prefix_offset:])
+    settled = _render(tokenizer, tokens[prefix_offset:read_offset],
+                      skip_special_tokens, spaces_between_special_tokens)
+    candidate = _render(tokenizer, tokens[prefix_offset:],
+                        skip_special_tokens, spaces_between_special_tokens)
 
-    if len(new_text) > len(prefix_text) and not new_text.endswith("�"):
-        new_text = new_text[len(prefix_text):]
-        return new_tokens, new_text, read_offset, len(output_tokens)
-    return new_tokens, "", prefix_offset, read_offset
+    if (len(candidate) <= len(settled)
+            or candidate.endswith(_UNSTABLE_TAIL)):
+        # Hold: the tail may still change as more bytes arrive.
+        return appended, "", prefix_offset, read_offset
+    return (appended, candidate[len(settled):], read_offset, len(tokens))

@@ -1,13 +1,23 @@
 """Paged KV cache allocation + swap/copy execution.
 
 Reference parity: vllm/worker/cache_engine.py:16-171 — allocates
-per-layer K/V block arrays on the TPU and pinned-host swap arrays, and
+per-layer K/V block arrays on the TPU and a host-side swap pool, and
 executes the scheduler's swap/copy directives. The CUDA ``x``-packed key
 layout is replaced by the block-major TPU layout (ops/cache_ops.py);
 dedicated CUDA streams/events are unnecessary: XLA orders the scatter
-ops within the step program, and host swaps are explicit device_put
-transfers.
+ops within the step program.
+
+Swap/copy execution discipline: the device pool is sized to most of
+HBM, so these paths must update it strictly in place. Copies and
+swap-ins run inside a *jitted function with the cache donated* — the
+dynamic_update_slice chains then really are in-place; an eager
+(un-donated) dus would allocate a fresh pool-sized buffer per pair.
+The host pool is plain numpy (pinned host memory analogue): numpy
+fancy-index assignment is in-place by construction and swap-in feeds
+the gathered host blocks straight into the jitted device update as
+numpy args (one transfer).
 """
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -16,13 +26,78 @@ import numpy as np
 
 from vllm_quick_tpu.config import CacheConfig, ModelConfig, ParallelConfig
 from vllm_quick_tpu.logger import init_logger
-from vllm_quick_tpu.ops.cache_ops import copy_blocks, swap_blocks
 from vllm_quick_tpu.utils import STR_DTYPE_TO_JNP
 
 logger = init_logger(__name__)
 
 # Fused per-layer cache array [NB, 2, H, S, D] (ops/cache_ops.py).
 KVCache = jax.Array
+
+# Swap/copy bursts are padded to these pair counts so each distinct
+# burst size does not trigger a fresh XLA compile.
+_PAIR_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def _bucket_pairs(n: int) -> int:
+    for b in _PAIR_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _PAIR_BUCKETS[-1]) * _PAIR_BUCKETS[-1]
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _copy_blocks_jit(caches, src, dst):
+    """In-place batched COW copies on the donated device pool.
+
+    Pairs are padded with (0, 0): copying the null block onto itself is
+    a no-op. The dus chain preserves read-after-write order for chained
+    copies (csrc/cache_kernels.cu:66-153 analogue).
+    """
+    p = src.shape[0]
+    out = []
+    for cache in caches:
+        def body(i, c):
+            blk = jax.lax.dynamic_slice_in_dim(c, src[i], 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(c, blk, dst[i],
+                                                       axis=0)
+        if p <= 16:
+            for i in range(p):
+                cache = body(i, cache)
+        else:
+            cache = jax.lax.fori_loop(0, p, body, cache)
+        out.append(cache)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _insert_blocks_jit(caches, blocks, dst):
+    """Insert host-gathered blocks [P, 2, H, S, D] per layer into the
+    donated device pool at block indices ``dst`` (swap-in device half).
+    Padding pairs carry dst=0 (null block)."""
+    p = dst.shape[0]
+    out = []
+    for cache, blk in zip(caches, blocks):
+        blk = blk.astype(cache.dtype)
+
+        def body(i, c):
+            one = jax.lax.dynamic_slice_in_dim(blk, i, 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(c, one, dst[i],
+                                                       axis=0)
+        if p <= 16:
+            for i in range(p):
+                cache = body(i, cache)
+        else:
+            cache = jax.lax.fori_loop(0, p, body, cache)
+        out.append(cache)
+    return out
+
+
+@jax.jit
+def _gather_blocks_jit(caches, src):
+    """Gather blocks [P, 2, H, S, D] per layer from the device pool
+    (swap-out device half). A gather output is small; no donation
+    needed — the pool itself is untouched."""
+    return [jnp.take(cache, src, axis=0) for cache in caches]
 
 
 class CacheEngine:
@@ -57,45 +132,61 @@ class CacheEngine:
         else:
             self.dtype = STR_DTYPE_TO_JNP[cache_config.cache_dtype]
 
-        self.device_cache = self._allocate(self.num_device_blocks,
-                                           device=True)
-        self.host_cache = self._allocate(self.num_cpu_blocks, device=False)
+        self.device_cache = self._allocate_device(self.num_device_blocks)
+        # Host swap pool: plain numpy — in-place writes by construction.
+        self.host_cache: List[np.ndarray] = [
+            np.zeros(self._shape(self.num_cpu_blocks),
+                     dtype=jnp.dtype(self.dtype))
+            for _ in range(self.num_layers)
+        ]
 
     def _shape(self, num_blocks: int) -> Tuple[int, ...]:
         return (num_blocks, 2, self.num_kv_heads, self.block_size,
                 self.head_size)
 
-    def _allocate(self, num_blocks: int, device: bool) -> List[KVCache]:
+    def _allocate_device(self, num_blocks: int) -> List[KVCache]:
         shape = self._shape(num_blocks)
-        caches: List[KVCache] = []
-        if device and self.mesh is not None and self.tp_size > 1:
+        if self.mesh is not None and self.tp_size > 1:
             from jax.sharding import NamedSharding
             from vllm_quick_tpu.parallel.sharding import kv_cache_pspec
             sharding = NamedSharding(self.mesh, kv_cache_pspec())
             make = lambda: jnp.zeros(shape, dtype=self.dtype,
                                      device=sharding)
-        elif device:
-            make = lambda: jnp.zeros(shape, dtype=self.dtype)
         else:
-            cpu = jax.devices("cpu")[0] if _has_cpu_device() else None
-            if cpu is None:
-                make = lambda: jnp.zeros(shape, dtype=self.dtype)
-            else:
-                make = lambda: jax.device_put(
-                    jnp.zeros(shape, dtype=self.dtype), cpu)
-        for _ in range(self.num_layers):
-            caches.append(make())
-        return caches
+            make = lambda: jnp.zeros(shape, dtype=self.dtype)
+        return [make() for _ in range(self.num_layers)]
+
+    @staticmethod
+    def _pad_pairs(src_to_dst: Dict[int, int]
+                   ) -> Tuple[np.ndarray, np.ndarray, int]:
+        n = len(src_to_dst)
+        p = _bucket_pairs(n)
+        src = np.zeros(p, np.int32)
+        dst = np.zeros(p, np.int32)
+        src[:n] = list(src_to_dst.keys())
+        dst[:n] = list(src_to_dst.values())
+        return src, dst, n
 
     def swap_in(self, src_to_dst: Dict[int, int]) -> None:
-        for i in range(self.num_layers):
-            self.device_cache[i] = swap_blocks(
-                self.host_cache[i], self.device_cache[i], src_to_dst)
+        """Host→device: numpy-gather the host blocks, then one jitted
+        donated insert (padding writes the null block)."""
+        if not src_to_dst:
+            return
+        src, dst, _ = self._pad_pairs(src_to_dst)
+        blocks = [layer[src] for layer in self.host_cache]
+        self.device_cache = _insert_blocks_jit(self.device_cache, blocks,
+                                               dst)
 
     def swap_out(self, src_to_dst: Dict[int, int]) -> None:
-        for i in range(self.num_layers):
-            self.host_cache[i] = swap_blocks(
-                self.device_cache[i], self.host_cache[i], src_to_dst)
+        """Device→host: one jitted gather + one fetch, then in-place
+        numpy insertion into the host pool."""
+        if not src_to_dst:
+            return
+        src, dst, n = self._pad_pairs(src_to_dst)
+        gathered = jax.device_get(
+            _gather_blocks_jit(self.device_cache, src))
+        for layer, blocks in zip(self.host_cache, gathered):
+            layer[dst[:n]] = blocks[:n]
 
     def copy(self, src_to_dsts: Dict[int, List[int]]) -> None:
         pairs = []
@@ -104,8 +195,11 @@ class CacheEngine:
                 pairs.append((src, dst))
         if not pairs:
             return
-        src_dst = jnp.asarray(np.asarray(pairs, dtype=np.int32))
-        self.device_cache = copy_blocks(self.device_cache, src_dst)
+        p = _bucket_pairs(len(pairs))
+        arr = np.zeros((p, 2), np.int32)
+        arr[:len(pairs)] = pairs
+        self.device_cache = _copy_blocks_jit(self.device_cache, arr[:, 0],
+                                             arr[:, 1])
 
     @staticmethod
     def get_cache_block_size(
@@ -118,7 +212,7 @@ class CacheEngine:
         cache_engine.py:148-167), accounting for XLA's physical (8, 128)
         tile padding of the trailing [block, head_dim] dims — a
         head_dim < 128 or block_size < 8 occupies the full tile in HBM."""
-        head_size = max(model_config.get_head_size(), 128)
+        head_size = -(-model_config.get_head_size() // 128) * 128
         num_heads = model_config.get_num_kv_heads(parallel_config)
         num_layers = model_config.get_num_layers(parallel_config)
         padded_block = -(-block_size // 8) * 8
@@ -128,10 +222,3 @@ class CacheEngine:
         itemsize = jnp.dtype(dtype).itemsize
         per_token = num_heads * head_size * itemsize
         return 2 * num_layers * padded_block * per_token
-
-
-def _has_cpu_device() -> bool:
-    try:
-        return bool(jax.devices("cpu"))
-    except RuntimeError:
-        return False
