@@ -48,5 +48,6 @@ def test_prepare_broadcast_run_roundtrip():
     assert all(isinstance(v, np.ndarray)
                for v in payload.values()), payload
     caches = worker.cache_engine.device_cache
-    logits, caches = runner.run_prepared(payload, caches)
+    logits, caches, extras = runner.run_prepared(payload, caches)
+    assert extras is None
     assert np.isfinite(np.asarray(logits)).all()

@@ -20,6 +20,21 @@ _LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
                 32768)
 _SIZE_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 
+_M64 = (1 << 64) - 1
+
+
+def _mix_seed(base: int, row: int, length: int) -> np.uint32:
+    """splitmix64-style avalanche of (seed, row, seq_len) — stable
+    across processes (Python's hash() is salted by PYTHONHASHSEED)."""
+    x = (base * 0x9E3779B97F4A7C15 + row * 0xBF58476D1CE4E5B9
+         + length * 0x94D049BB133111EB) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return np.uint32(x & 0xFFFFFFFF)
+
 
 @dataclasses.dataclass
 class SamplingFlags:
@@ -90,7 +105,9 @@ def build_sampling_tensors(
         freq[i] = p.frequency_penalty
         rep[i] = p.repetition_penalty
         base = p.seed if p.seed is not None else step_seed
-        seeds[i] = np.uint32((hash((base, i, data.get_len())) & 0xFFFFFFFF))
+        # Explicit integer mix (splitmix64-style): deterministic across
+        # processes/restarts, unlike Python's salted hash().
+        seeds[i] = _mix_seed(base, i, data.get_len())
         if (abs(p.presence_penalty) > 1e-5 or abs(p.frequency_penalty) > 1e-5
                 or abs(p.repetition_penalty - 1.0) > 1e-5):
             flags.do_penalties = True

@@ -185,6 +185,7 @@ def make_sharded_step(
     tp_axis: str = TP_AXIS,
     dp_axis: Optional[str] = None,
     donate_caches: bool = True,
+    n_extra_outputs: int = 0,
 ) -> Callable:
     """Wrap ``raw_step(params, ids, pos, kv_caches, meta, prompt_lens)``
     in shard_map over ``mesh`` and jit it.
@@ -199,6 +200,11 @@ def make_sharded_step(
     cache = kv_cache_pspec(tp_axis, dp_axis)
     in_specs = (param_specs, batch, batch, cache, batch, batch)
     out_specs = (batch, cache)
+    if n_extra_outputs:
+        # Step variants returning extra batch-aligned arrays (e.g. the
+        # prompt-logprobs echo outputs) — all replicated over tp.
+        out_specs = out_specs + (tuple(batch
+                                       for _ in range(n_extra_outputs)),)
     step = jax.shard_map(raw_step, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
     donate = (3,) if donate_caches else ()

@@ -63,6 +63,7 @@ class ModelRunner:
         self.params = None
         self.sampler: Optional[Sampler] = None
         self._jit_step = None
+        self._echo_steps: Dict[int, Any] = {}
         self._rng_counter = 0
         self.lora_manager = None
         self._lora_mapping: Dict[int, int] = {}
@@ -100,13 +101,58 @@ class ModelRunner:
                 dtype=self.model_config.dtype)
 
         world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
+        self._world = world
         if world > 1:
             from vllm_quick_tpu.parallel.sharding import (
                 make_sharded_step, param_pspecs)
             specs = param_pspecs(self.params)
+            self._param_specs = specs
             self._jit_step = make_sharded_step(_step, self.mesh, specs)
         else:
             self._jit_step = jax.jit(_step, donate_argnums=(3,))
+
+    def _get_echo_step(self, k: int):
+        """Prefill step variant that additionally returns all-position
+        prompt logprobs (target-token logprob + top-k), for
+        prompt_logprobs / OpenAI ``echo`` requests. Traced per top-k
+        bucket; memory is bounded by mapping row-by-row over the batch.
+        Reference: vllm/model_executor/layers/sampler.py:426-537."""
+        step = self._echo_steps.get(k)
+        if step is not None:
+            return step
+        model = self.model
+
+        def _step_echo(params, input_ids, positions, kv_caches, meta,
+                       prompt_lens):
+            hidden, new_caches = model.forward(params, input_ids,
+                                               positions, kv_caches, meta)
+            idx = jnp.maximum(prompt_lens - 1, 0)
+            last = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1)[:, 0]
+            logits = model.compute_logits(params, last)
+
+            def one_row(args):
+                h, row_ids = args          # [L, H], [L]
+                row_logits = model.compute_logits(params, h)
+                lsm = jax.nn.log_softmax(
+                    row_logits.astype(jnp.float32), axis=-1)
+                # Position i scores the *next* prompt token (i+1).
+                nxt = jnp.roll(row_ids, -1)
+                tgt = jnp.take_along_axis(lsm, nxt[:, None], axis=1)[:, 0]
+                tl, ti = jax.lax.top_k(lsm, k)
+                return tgt, tl, ti
+
+            tgt, tl, ti = jax.lax.map(one_row, (hidden, input_ids))
+            return logits, new_caches, (tgt, tl, ti)
+
+        if self._world > 1:
+            from vllm_quick_tpu.parallel.sharding import make_sharded_step
+            step = make_sharded_step(_step_echo, self.mesh,
+                                     self._param_specs, n_extra_outputs=3)
+        else:
+            step = jax.jit(_step_echo, donate_argnums=(3,))
+        self._echo_steps[k] = step
+        return step
 
     # -- input preparation -----------------------------------------------
 
@@ -260,8 +306,16 @@ class ModelRunner:
             ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
         else:
             ids, pos, meta, prompt_lens = self._prepare_decode(metas)
+        echo_k = 0
+        if is_prompt:
+            wants = [m.sampling_params.prompt_logprobs for m in metas
+                     if m.sampling_params.prompt_logprobs is not None]
+            if wants:
+                echo_k = pad_to_bucket(max(max(wants), 1),
+                                       (1, 2, 4, 8, 16, 32))
         payload = {
             "is_prompt": np.asarray(1 if is_prompt else 0, np.int32),
+            "echo_k": np.asarray(echo_k, np.int32),
             "ids": np.asarray(ids),
             "pos": np.asarray(pos),
             "prompt_lens": np.asarray(prompt_lens),
@@ -294,9 +348,17 @@ class ModelRunner:
             block_tables=payload.get("block_tables"),
             lora_indices=payload.get("lora_indices"),
         )
-        return self._jit_step(self.params, payload["ids"],
-                              payload["pos"], kv_caches, meta,
-                              payload["prompt_lens"])
+        echo_k = int(payload.get("echo_k", 0))
+        if echo_k:
+            step = self._get_echo_step(echo_k)
+            logits, kv_caches, extras = step(
+                self.params, payload["ids"], payload["pos"], kv_caches,
+                meta, payload["prompt_lens"])
+            return logits, kv_caches, extras
+        logits, kv_caches = self._jit_step(
+            self.params, payload["ids"], payload["pos"], kv_caches, meta,
+            payload["prompt_lens"])
+        return logits, kv_caches, None
 
     def execute_model(
         self,
@@ -307,8 +369,9 @@ class ModelRunner:
             return None, kv_caches
         payload = self.prepare_step_inputs(metas)
         payload = broadcast_step_inputs(payload)
-        logits, kv_caches = self.run_prepared(payload, kv_caches)
-        sampler_output = self._sample(metas, logits)
+        logits, kv_caches, echo_extras = self.run_prepared(
+            payload, kv_caches)
+        sampler_output = self._sample(metas, logits, echo_extras)
         return sampler_output, kv_caches
 
     def execute_follower_step(
@@ -316,11 +379,12 @@ class ModelRunner:
         """Follower hosts: receive the driver's payload and run the same
         jitted step (reference worker.py:210-226 follower path)."""
         payload = broadcast_step_inputs(None)
-        _, kv_caches = self.run_prepared(payload, kv_caches)
+        _, kv_caches, _ = self.run_prepared(payload, kv_caches)
         return kv_caches
 
     def _sample(self, metas: List[SequenceGroupMetadata],
-                logits: jax.Array) -> SamplerOutput:
+                logits: jax.Array,
+                echo_extras=None) -> SamplerOutput:
         # One sampling row per (group) at prefill / per (seq) at decode.
         seq_data = []
         params: List[SamplingParams] = []
@@ -335,6 +399,18 @@ class ModelRunner:
                 row_seq_ids.append(sid)
                 row_groups.append(gi)
 
+        # User logits processors run host-side on the affected rows
+        # (reference sampler.py:152-167); rare path — costs one extra
+        # fetch, and the modified logits ride back on the sampler's own
+        # dispatch as numpy args.
+        if any(p.logits_processors for p in params):
+            # np.array copies: device_get buffers are read-only and
+            # processors mutate in place.
+            logits = np.array(jax.device_get(logits), dtype=np.float32)
+            for r, (data, p) in enumerate(zip(seq_data, params)):
+                for proc in p.logits_processors:
+                    logits[r] = proc(data.output_token_ids, logits[r])
+
         self._rng_counter += 1
         tensors, flags, n = build_sampling_tensors(
             seq_data, params, self.model_config.get_vocab_size(),
@@ -344,10 +420,11 @@ class ModelRunner:
         chosen, chosen_lp, top_lp, top_ids = self.sampler(
             logits, tensors, flags)
 
-        # Single host fetch for all (small) sampler outputs: one device
-        # round trip per step instead of four.
-        chosen, chosen_lp, top_lp, top_ids = jax.device_get(
-            (chosen, chosen_lp, top_lp, top_ids))
+        # Single host fetch for all (small) sampler outputs (+ the echo
+        # arrays when present): one device round trip per step.
+        fetched = jax.device_get(
+            (chosen, chosen_lp, top_lp, top_ids, echo_extras))
+        chosen, chosen_lp, top_lp, top_ids, echo_extras = fetched
 
         # Host-side assembly into SequenceGroupOutputs.
         out: SamplerOutput = []
@@ -375,8 +452,36 @@ class ModelRunner:
                                              sp_params.logprobs, top_lp[r],
                                              top_ids[r])
                     samples.append(SequenceOutput(row_seq_ids[r], token, lp))
-            out.append(SequenceGroupOutput(samples, prompt_logprobs=None))
+            prompt_lp = None
+            if (echo_extras is not None and m.is_prompt
+                    and sp_params.prompt_logprobs is not None):
+                prompt_lp = self._prompt_logprobs(m, rows[0], echo_extras)
+            out.append(SequenceGroupOutput(samples,
+                                           prompt_logprobs=prompt_lp))
         return out
+
+    def _prompt_logprobs(self, m: SequenceGroupMetadata, row: int,
+                         echo_extras):
+        """Assemble the per-position prompt logprob dicts from the echo
+        step's arrays. Entry 0 is None (no context predicts the first
+        token); positions covered by a computed shared prefix are also
+        None (their logits were never recomputed)."""
+        tgt, tl, ti = echo_extras   # [B, L], [B, L, K], [B, L, K]
+        data = next(iter(m.seq_data.values()))
+        token_ids = data.prompt_token_ids
+        start = 0
+        if m.prefix is not None and m.prefix.computed:
+            start = m.prefix.get_length()
+        k_req = m.sampling_params.prompt_logprobs
+        result = [None] * min(start + 1, len(token_ids))
+        for j in range(start + 1 if start else 1, len(token_ids)):
+            local = j - start - 1   # echo row position scoring token j
+            entry = {int(token_ids[j]): float(tgt[row, local])}
+            for c in range(min(k_req, ti.shape[2])):
+                entry.setdefault(int(ti[row, local, c]),
+                                 float(tl[row, local, c]))
+            result.append(entry)
+        return result
 
     def _logprobs_dict(self, token: int, token_lp: float,
                        num_logprobs: Optional[int], top_lp: np.ndarray,
