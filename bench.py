@@ -128,12 +128,142 @@ def main():
     dt = time.perf_counter() - t0 - fetch_rtt
 
     tok_s = iters * batch / dt
+    step_ms = dt / iters * 1e3
+
+    if os.environ.get("BENCH_BREAKDOWN"):
+        _breakdown(model, params, caches, meta, ids, positions, batch,
+                   step_ms, fetch_rtt, iters)
+
     print(json.dumps({
         "metric": "llama2_7b_int4_decode_tok_s_per_chip",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
     }))
+
+
+def _nbytes(tree):
+    import jax
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def _breakdown(model, params, caches, meta, ids, positions, batch,
+               step_ms, fetch_rtt, iters):
+    """SURVEY §5 roofline reporter: time each step component as its own
+    jitted chain at the real shapes and report bytes moved vs achieved
+    HBM bandwidth. Printed to stderr; the driver's JSON line is last."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vllm_quick_tpu.model_executor.layers.linear import apply_linear
+    from vllm_quick_tpu.ops.cache_ops import reshape_and_cache
+    from vllm_quick_tpu.ops.paged_attention import paged_decode_attention
+
+    e = model.hidden_size
+    layers = params["layers"]
+
+    import functools
+
+    # Per-dispatch tunnel overhead (~ms) swamps single-chain timings, so
+    # every component is measured as the SLOPE between a 1x and a 3x
+    # repetition of its chain inside one jit: constants (dispatch,
+    # fetch) cancel exactly.
+    def slope_ms(make_chain, *args, n=6, r_lo=1, r_hi=3):
+        def run(r):
+            fn = jax.jit(functools.partial(make_chain, repeat=r))
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            return (time.perf_counter() - t0) / n * 1e3
+        lo, hi = run(r_lo), run(r_hi)
+        return max((hi - lo) / (r_hi - r_lo), 1e-3)
+
+    # 1) Quantized GEMMs: the exact per-layer matmul sequence, chained
+    #    through the activation so nothing is dead-code-eliminated.
+    x0 = jnp.zeros((batch, e), jnp.bfloat16)
+
+    def gemm_chain(x, repeat=1):
+        acc = jnp.float32(0)
+        for _ in range(repeat):
+            for layer in layers:
+                qkv = apply_linear(layer["qkv"], x)
+                o = apply_linear(layer["o"], qkv[..., :e])
+                gu = apply_linear(layer["gate_up"], x + o)
+                dn = apply_linear(layer["down"],
+                                  gu[..., :gu.shape[-1] // 2])
+                acc = acc + jnp.sum(dn.astype(jnp.float32))
+                x = x + dn
+        return acc
+
+    gemm_ms = slope_ms(gemm_chain, x0)
+    gemm_bytes = sum(_nbytes(l[k].qw) for l in layers
+                     for k in ("qkv", "o", "gate_up", "down"))
+
+    # 2) Paged attention: 32 chained decode-attention calls.
+    q0 = jnp.zeros((batch, model.num_heads, model.head_dim), jnp.bfloat16)
+
+    def attn_chain(q, caches, repeat=1):
+        for _ in range(repeat):
+            for c in caches:
+                out = paged_decode_attention(q, c, meta.block_tables,
+                                             meta.context_lens, 1.0)
+                q = q + out * 1e-3
+        return q
+
+    attn_ms = slope_ms(attn_chain, q0, caches)
+    ctx = int(np.asarray(meta.context_lens)[0])
+    attn_bytes = (len(caches) * batch * 2 * model.num_kv_heads
+                  * ctx * model.head_dim
+                  * caches[0].dtype.itemsize)
+
+    # 3) KV-cache writes: 32 per-token scatters per repeat (in-place on
+    #    the donated pool inside the jit; the repeat factor multiplies
+    #    the dus chain, not pool copies).
+    k0 = jnp.zeros((batch, model.num_kv_heads, model.head_dim),
+                   jnp.bfloat16)
+
+    def write_chain(k, caches, repeat=1):
+        for _ in range(repeat):
+            caches = [reshape_and_cache(k, k, c, meta.slot_mapping)
+                      for c in caches]
+        return caches[0][0, 0, 0, 0, 0]
+
+    write_ms = slope_ms(write_chain, k0, caches)
+
+    # 4) LM head: chained unembed at the real vocab.
+    h0 = jnp.zeros((batch, e), jnp.bfloat16)
+
+    def lm_chain(h, repeat=1):
+        acc = jnp.float32(0)
+        for _ in range(repeat):
+            logits = model.compute_logits(params, h)
+            acc = acc + jnp.sum(logits.astype(jnp.float32))
+            h = h + acc.astype(jnp.bfloat16) * 0
+        return acc
+
+    lm_ms = slope_ms(lm_chain, h0, r_lo=2, r_hi=6)
+    lm_bytes = _nbytes(params["lm_head"])
+
+    rows = [
+        ("quant_gemm(x128)", gemm_ms, gemm_bytes),
+        ("paged_attn(x32)", attn_ms, attn_bytes),
+        ("kv_write(x32)", write_ms, None),
+        ("lm_head", lm_ms, lm_bytes),
+    ]
+    accounted = gemm_ms + attn_ms + write_ms + lm_ms
+    print(f"-- step breakdown (batch={batch} ctx={ctx}; full step "
+          f"{step_ms:.2f} ms over {iters} iters) --", file=sys.stderr)
+    for name, ms, nbytes in rows:
+        bw = f"{nbytes / ms / 1e6:8.0f} GB/s  ({nbytes / 1e9:.2f} GB)" \
+            if nbytes else "        -"
+        print(f"  {name:18s} {ms:7.2f} ms  {bw}", file=sys.stderr)
+    print(f"  {'glue+dispatch':18s} {step_ms - accounted:7.2f} ms  "
+          f"(residual incl. host gap)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,53 @@
+"""Real 2-process driver/follower stepping over jax.distributed.
+
+Spawns two CPU-backend processes: rank 0 drives prompt/decode steps
+plus COW-copy and swap directives through the per-step payload
+broadcast; rank 1 mirrors them via Worker.run_follower_loop. Cache
+pools must match bit-for-bit at the end (see multihost_proc.py).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.utils import make_tiny_llama_dir
+
+_HELPER = os.path.join(os.path.dirname(__file__), "multihost_proc.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(240)
+def test_two_process_driver_follower():
+    model_dir = make_tiny_llama_dir()
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _HELPER, str(rank), str(port), model_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=210)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"rank {rank} failed (rc={p.returncode}):\n{out[-4000:]}")
+        assert f"RANK{rank}_OK" in out, out[-4000:]

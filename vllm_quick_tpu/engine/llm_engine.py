@@ -154,6 +154,23 @@ class LLMEngine:
         return cls(*engine_configs,
                    log_stats=not engine_args.disable_log_stats)
 
+    # -- multi-host -------------------------------------------------------
+
+    @property
+    def is_driver(self) -> bool:
+        from vllm_quick_tpu.parallel.multihost import is_driver
+        return is_driver()
+
+    def run_follower_loop(self) -> None:
+        """Block serving the driver's per-step broadcasts; call on every
+        non-zero host after engine construction. Returns when the driver
+        sends the shutdown sentinel."""
+        self.worker.run_follower_loop()
+
+    def shutdown(self) -> None:
+        """Release followers (no-op on single host)."""
+        self.worker.shutdown_followers()
+
     # -- requests ----------------------------------------------------------
 
     def add_request(

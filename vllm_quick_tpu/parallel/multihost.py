@@ -50,20 +50,54 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                 jax.process_index(), jax.process_count())
 
 
-def broadcast_step_inputs(inputs: Optional[Dict[str, Any]]
-                          ) -> Dict[str, Any]:
-    """Broadcast host-0's prepared step inputs (numpy pytree) to every
-    host. Follower hosts pass ``None`` and receive the driver's value.
+# Broadcast buffers are padded to these byte sizes so each distinct
+# payload size does not recompile the underlying collective.
+_BYTE_BUCKETS = tuple(1 << p for p in range(10, 27))
 
-    The dict values must be numpy arrays or scalars; shapes must agree
-    across hosts per step (the bucketed static shapes guarantee this).
+
+def _byte_bucket(n: int) -> int:
+    for b in _BYTE_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BYTE_BUCKETS[-1]) * _BYTE_BUCKETS[-1]
+
+
+def broadcast_payload(payload: Optional[Any]) -> Any:
+    """Broadcast an arbitrary picklable object host-0 -> all hosts.
+    Followers pass ``None`` and receive the driver's object.
+
+    ``multihost_utils.broadcast_one_to_all`` needs a structure-matching
+    pytree on every host, which followers cannot know ahead of time, so
+    the payload travels as pickled bytes: one fixed-shape length
+    broadcast, then one bucket-padded uint8 broadcast. This is the
+    TPU-native analogue of the reference's metadata-then-tensors
+    broadcast_tensor_dict (communication_op.py:143-203).
     """
     if not is_multihost():
-        assert inputs is not None
-        return inputs
+        assert payload is not None
+        return payload
+    import pickle
+
     from jax.experimental import multihost_utils
-    return multihost_utils.broadcast_one_to_all(
-        inputs, is_source=is_driver())
+    src = is_driver()
+    blob = b""
+    if src:
+        blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.int64(len(blob)), is_source=src))
+    buf = np.zeros(_byte_bucket(n), np.uint8)
+    if src:
+        buf[:n] = np.frombuffer(blob, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=src)
+    if src:
+        return payload
+    return pickle.loads(buf[:n].tobytes())
+
+
+def broadcast_step_inputs(inputs: Optional[Dict[str, Any]]
+                          ) -> Dict[str, Any]:
+    """Back-compat alias for step-input dicts (see broadcast_payload)."""
+    return broadcast_payload(inputs)
 
 
 def sync_global_devices(tag: str) -> None:

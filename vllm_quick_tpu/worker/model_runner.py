@@ -23,7 +23,6 @@ from vllm_quick_tpu.model_executor.model_loader import get_model
 from vllm_quick_tpu.model_executor.sampling_metadata import (
     build_sampling_tensors)
 from vllm_quick_tpu.parallel.mesh import ParallelContext
-from vllm_quick_tpu.parallel.multihost import broadcast_step_inputs
 from vllm_quick_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_quick_tpu.sequence import (SamplerOutput, SequenceGroupMetadata,
                                      SequenceGroupOutput, SequenceOutput)
@@ -365,22 +364,16 @@ class ModelRunner:
         metas: List[SequenceGroupMetadata],
         kv_caches: List[jax.Array],
     ) -> Tuple[Optional[SamplerOutput], List[jax.Array]]:
+        """Local (single-host) prepare+step+sample. Multi-host serving
+        goes through Worker.execute_model / Worker.run_follower_loop,
+        which wrap run_prepared with the per-step payload broadcast."""
         if not metas:
             return None, kv_caches
         payload = self.prepare_step_inputs(metas)
-        payload = broadcast_step_inputs(payload)
         logits, kv_caches, echo_extras = self.run_prepared(
             payload, kv_caches)
         sampler_output = self._sample(metas, logits, echo_extras)
         return sampler_output, kv_caches
-
-    def execute_follower_step(
-        self, kv_caches: List[jax.Array]):
-        """Follower hosts: receive the driver's payload and run the same
-        jitted step (reference worker.py:210-226 follower path)."""
-        payload = broadcast_step_inputs(None)
-        _, kv_caches, _ = self.run_prepared(payload, kv_caches)
-        return kv_caches
 
     def _sample(self, metas: List[SequenceGroupMetadata],
                 logits: jax.Array,

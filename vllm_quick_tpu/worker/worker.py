@@ -134,6 +134,18 @@ class Worker:
 
     # -- execution -----------------------------------------------------------
 
+    def _apply_cache_directives(self, payload: Dict) -> None:
+        """Run the scheduler's swap/copy moves on this host's pools.
+        Every host applies the identical directives so follower cache
+        pools never diverge on preemption/COW (the reference ships these
+        maps in its per-step broadcast, worker.py:191-226)."""
+        if payload.get("swap_in"):
+            self.cache_engine.swap_in(payload["swap_in"])
+        if payload.get("swap_out"):
+            self.cache_engine.swap_out(payload["swap_out"])
+        if payload.get("copy"):
+            self.cache_engine.copy(payload["copy"])
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
@@ -141,15 +153,51 @@ class Worker:
         blocks_to_swap_out: Dict[int, int],
         blocks_to_copy: Dict[int, List[int]],
     ) -> Optional[SamplerOutput]:
-        if blocks_to_swap_in:
-            self.cache_engine.swap_in(blocks_to_swap_in)
-        if blocks_to_swap_out:
-            self.cache_engine.swap_out(blocks_to_swap_out)
-        if blocks_to_copy:
-            self.cache_engine.copy(blocks_to_copy)
-        if not seq_group_metadata_list:
+        """Driver-side step: one broadcast carries the cache directives
+        AND the prepared batch inputs; every host then applies the same
+        moves and runs the same jitted step."""
+        from vllm_quick_tpu.parallel.multihost import broadcast_payload
+        payload: Dict = {
+            "swap_in": blocks_to_swap_in,
+            "swap_out": blocks_to_swap_out,
+            "copy": blocks_to_copy,
+        }
+        metas = seq_group_metadata_list
+        if metas:
+            payload["step"] = self.model_runner.prepare_step_inputs(metas)
+        broadcast_payload(payload)
+        self._apply_cache_directives(payload)
+        if not metas:
             return None
-        output, new_caches = self.model_runner.execute_model(
-            seq_group_metadata_list, self.cache_engine.device_cache)
-        self.cache_engine.device_cache = new_caches
-        return output
+        logits, caches, extras = self.model_runner.run_prepared(
+            payload["step"], self.cache_engine.device_cache)
+        self.cache_engine.device_cache = caches
+        # Only the driver samples (followers return before this point).
+        return self.model_runner._sample(metas, logits, extras)
+
+    def run_follower_loop(self) -> None:
+        """Follower-host serving loop: receive the driver's per-step
+        payload, mirror its cache moves, run the same jitted step. Exits
+        on the shutdown sentinel. Reference: the Ray-RPC'd follower
+        execute_model (vllm/worker/worker.py:191-226)."""
+        from vllm_quick_tpu.parallel.multihost import (broadcast_payload,
+                                                       is_driver)
+        assert not is_driver(), "the driver host runs the engine loop"
+        logger.info("Entering follower step loop")
+        while True:
+            payload = broadcast_payload(None)
+            if payload.get("shutdown"):
+                logger.info("Follower loop shut down by driver")
+                return
+            self._apply_cache_directives(payload)
+            if "step" in payload:
+                _, caches, _ = self.model_runner.run_prepared(
+                    payload["step"], self.cache_engine.device_cache)
+                self.cache_engine.device_cache = caches
+
+    def shutdown_followers(self) -> None:
+        from vllm_quick_tpu.parallel.multihost import (broadcast_payload,
+                                                       is_driver,
+                                                       is_multihost)
+        if is_multihost() and is_driver():
+            broadcast_payload({"shutdown": True})
