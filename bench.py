@@ -170,7 +170,7 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
     # every component is measured as the SLOPE between a 1x and a 3x
     # repetition of its chain inside one jit: constants (dispatch,
     # fetch) cancel exactly.
-    def slope_ms(make_chain, *args, n=6, r_lo=1, r_hi=3):
+    def slope_ms(make_chain, *args, n=6, r_lo=1, r_hi=2):
         def run(r):
             fn = jax.jit(functools.partial(make_chain, repeat=r))
             out = fn(*args)
@@ -246,7 +246,7 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
             h = h + acc.astype(jnp.bfloat16) * 0
         return acc
 
-    lm_ms = slope_ms(lm_chain, h0, r_lo=2, r_hi=6)
+    lm_ms = slope_ms(lm_chain, h0, r_lo=2, r_hi=4) / 1
     lm_bytes = _nbytes(params["lm_head"])
 
     rows = [

@@ -80,12 +80,20 @@ class LoRAModelManager:
     (reference: models.py:242-535 + LRU :550)."""
 
     def __init__(self, params: Dict[str, Any], model, lora_config,
-                 dtype=jnp.bfloat16) -> None:
+                 dtype=jnp.bfloat16, mesh=None) -> None:
         self.model = model
         self.capacity = lora_config.max_loras
         self.max_rank = lora_config.max_lora_rank
         self.dtype = dtype
+        self.mesh = mesh
+        # Under TP the stacks are global arrays sharded with their base
+        # layer (reference lora/layers.py:281-781 sharding rules):
+        # col-parallel shards B's output axis, row-parallel shards A's
+        # input axis; the row-parallel partial LoRA sum rides the
+        # layer's existing output psum.
+        self.tp = getattr(model.ctx, "tp_size", 1)
         # target map: param_key -> list of (hf_module, out_start, out_sz)
+        # with LOCAL (per-shard) offsets.
         self.target_map = model.lora_target_map()
         self.layers = params["layers"]
         self._init_stacks()
@@ -94,17 +102,45 @@ class LoRAModelManager:
         self.slot_clock: List[int] = [0] * self.capacity
         self._clock = 0
 
+    def _global_dims(self, lw) -> Tuple[int, int]:
+        """(K, N) of the stack arrays: the TP-sharded axis is global.
+        Dense layers hold the assembled global array (shape IS global);
+        quantized layers carry per-rank static sizes, so the sharded
+        axis scales by tp."""
+        if lw.qw is None:
+            return lw.w.shape[0], lw.w.shape[1]
+        k = lw.in_features * (self.tp if lw.shard == "row" else 1)
+        n = lw.out_features * (self.tp if lw.shard == "col" else 1)
+        return k, n
+
+    def _place(self, arr: jnp.ndarray, shard: str, which: str):
+        """Lay a stack out on the mesh per its sharding rule."""
+        if self.mesh is None or self.tp == 1:
+            return arr
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vllm_quick_tpu.parallel.mesh import TP_AXIS
+        if shard == "col" and which == "b":
+            spec = P(None, None, TP_AXIS)
+        elif shard == "row" and which == "a":
+            spec = P(None, TP_AXIS, None)
+        else:
+            spec = P()
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     def _init_stacks(self) -> None:
         for layer in self.layers:
             for key, targets in self.target_map.items():
                 lw = layer[key]
-                k = lw.in_features
-                n = lw.out_features
+                k, n = self._global_dims(lw)
                 r_total = len(targets) * self.max_rank
-                lw.lora_a = jnp.zeros((self.capacity, k, r_total),
-                                      dtype=self.dtype)
-                lw.lora_b = jnp.zeros((self.capacity, r_total, n),
-                                      dtype=self.dtype)
+                lw.lora_a = self._place(
+                    jnp.zeros((self.capacity, k, r_total),
+                              dtype=self.dtype), lw.shard, "a")
+                lw.lora_b = self._place(
+                    jnp.zeros((self.capacity, r_total, n),
+                              dtype=self.dtype), lw.shard, "b")
 
     # -- slot management -----------------------------------------------------
 
@@ -159,14 +195,15 @@ class LoRAModelManager:
     def _write_slot(self, slot: int, lm: LoRAModel) -> None:
         assert lm.rank <= self.max_rank, (
             f"adapter rank {lm.rank} > max_lora_rank {self.max_rank}")
+        tp = self.tp
         for li, layer in enumerate(self.layers):
             for key, targets in self.target_map.items():
                 lw = layer[key]
-                k = lw.in_features
-                n = lw.out_features
+                k_g, n_g = self._global_dims(lw)
+                n_local = n_g // (tp if lw.shard == "col" else 1)
                 r_total = len(targets) * self.max_rank
-                a = np.zeros((k, r_total), np.float32)
-                b = np.zeros((r_total, n), np.float32)
+                a = np.zeros((k_g, r_total), np.float32)
+                b = np.zeros((r_total, n_g), np.float32)
                 found = False
                 for p, (hf_module, out_start, out_sz) in \
                         enumerate(targets):
@@ -176,9 +213,22 @@ class LoRAModelManager:
                     found = True
                     r = t["a"].shape[1]
                     r0 = p * self.max_rank
+                    # A's K axis is either unsharded (col) or sharded
+                    # contiguously (row); both give natural row order.
                     a[:, r0:r0 + r] = t["a"]
-                    b[r0:r0 + r, out_start:out_start + out_sz] = \
-                        t["b"] * lm.scaling
+                    if lw.shard == "col" and tp > 1:
+                        # Global fused-N layout is rank-major: rank r's
+                        # block holds its shard of every fused part, so
+                        # scatter each part's per-rank column slice.
+                        for rank in range(tp):
+                            seg = t["b"][:, rank * out_sz:
+                                         (rank + 1) * out_sz]
+                            col = rank * n_local + out_start
+                            b[r0:r0 + r, col:col + out_sz] = \
+                                seg * lm.scaling
+                    else:
+                        b[r0:r0 + r, out_start:out_start + out_sz] = \
+                            t["b"] * lm.scaling
                 if found:
                     lw.lora_a = lw.lora_a.at[slot].set(
                         jnp.asarray(a, dtype=self.dtype))

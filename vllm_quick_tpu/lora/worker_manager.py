@@ -13,10 +13,11 @@ logger = init_logger(__name__)
 
 class WorkerLoRAManager:
 
-    def __init__(self, params, model, lora_config, dtype) -> None:
+    def __init__(self, params, model, lora_config, dtype,
+                 mesh=None) -> None:
         self.lora_config = lora_config
         self.manager = LoRAModelManager(params, model, lora_config,
-                                        dtype=dtype)
+                                        dtype=dtype, mesh=mesh)
         self.max_cpu_loras = (lora_config.max_cpu_loras
                               or lora_config.max_loras)
         # Host-side deserialized adapter cache, LRU by insertion order.

@@ -88,16 +88,15 @@ class ModelRunner:
             return logits, new_caches
 
         if self.lora_config is not None:
-            assert self.ctx.tp_size == 1, (
-                "multi-LoRA under tensor parallelism lands next; "
-                "serve LoRA on tp=1 for now")
             if not hasattr(self.model, "lora_target_map"):
                 raise ValueError(
                     f"{type(self.model).__name__} does not support LoRA")
             from vllm_quick_tpu.lora.worker_manager import WorkerLoRAManager
+            # Stacks must exist BEFORE the sharded step's specs are
+            # derived below, so their arrays are part of the pytree.
             self.lora_manager = WorkerLoRAManager(
                 self.params, self.model, self.lora_config,
-                dtype=self.model_config.dtype)
+                dtype=self.model_config.dtype, mesh=self.mesh)
 
         world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
         self._world = world
