@@ -293,6 +293,8 @@ class SchedulerConfig:
         max_num_seqs: int,
         max_model_len: int,
         max_paddings: int = 256,
+        speculative_model: Optional[str] = None,
+        num_speculative_tokens: int = 4,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -301,6 +303,12 @@ class SchedulerConfig:
         self.max_num_seqs = max_num_seqs
         self.max_model_len = max_model_len
         self.max_paddings = max_paddings
+        # Speculative decoding: a draft model proposes
+        # num_speculative_tokens per step; the target model scores them
+        # in one forward and rejection sampling keeps the exact target
+        # distribution. The scheduler reserves the lookahead KV slots.
+        self.speculative_model = speculative_model
+        self.num_speculative_tokens = num_speculative_tokens
         self._verify_args()
 
     def _verify_args(self) -> None:

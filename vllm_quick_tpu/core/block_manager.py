@@ -172,21 +172,28 @@ class BlockSpaceManager:
 
     # ---- decode growth ---------------------------------------------------
 
-    def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        # Worst case each running candidate starts a fresh block.
+    def can_append_slot(self, seq_group: SequenceGroup,
+                        lookahead: int = 0) -> bool:
+        # Worst case each running candidate starts a fresh block (plus
+        # the speculative-lookahead blocks when spec decoding).
+        per_seq = 1 + -(-lookahead // self.block_size)
         running = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return running <= self.device_pool.available()
+        return running * per_seq <= self.device_pool.available()
 
-    def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
-        """Reserve KV room for the sequence's next token. Returns a
-        (src, dst) pair when a shared tail block had to be copied."""
+    def append_slot(self, seq: Sequence,
+                    lookahead: int = 0) -> Optional[Tuple[int, int]]:
+        """Reserve KV room for the sequence's next token (plus
+        ``lookahead`` speculative tokens). Returns a (src, dst) pair
+        when a shared tail block had to be copied."""
         table = self._tables[seq.seq_id].blocks
-        if len(table) < seq.num_logical_blocks():
-            if (self.ring_blocks is not None
-                    and len(table) >= self.ring_blocks):
-                table.append(table[len(table) % self.ring_blocks])
-            else:
-                table.append(self.device_pool.acquire())
+        target = -(-(seq.get_len() + lookahead) // self.block_size)
+        if len(table) < target:
+            while len(table) < target:
+                if (self.ring_blocks is not None
+                        and len(table) >= self.ring_blocks):
+                    table.append(table[len(table) % self.ring_blocks])
+                else:
+                    table.append(self.device_pool.acquire())
             return None
         tail = table[-1]
         if self.device_pool.refs(tail) == 1:

@@ -152,6 +152,13 @@ class Scheduler:
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
 
+        # Speculative decoding reserves k extra KV slots per decode
+        # step so the draft+score pass never outruns the block tables.
+        self.lookahead_slots = (
+            scheduler_config.num_speculative_tokens
+            if getattr(scheduler_config, "speculative_model", None)
+            else 0)
+
     @property
     def lora_enabled(self) -> bool:
         return self.lora_config is not None
@@ -270,7 +277,8 @@ class Scheduler:
         while queue:
             group = queue.popleft()
             evicted_self = False
-            while not self.block_manager.can_append_slot(group):
+            while not self.block_manager.can_append_slot(
+                    group, self.lookahead_slots):
                 victim = queue.pop() if queue else group
                 self._preempt(victim, swap_out)
                 preempted.append(victim)
@@ -381,8 +389,10 @@ class Scheduler:
 
     def _grow_tables(self, group: SequenceGroup,
                      copies: Dict[int, List[int]]) -> None:
+        lookahead = (self.lookahead_slots
+                     if group.get_max_num_running_seqs() == 1 else 0)
         for seq in group.get_seqs(status=SequenceStatus.RUNNING):
-            cow = self.block_manager.append_slot(seq)
+            cow = self.block_manager.append_slot(seq, lookahead)
             if cow is not None:
                 copies.setdefault(cow[0], []).append(cow[1])
 

@@ -38,6 +38,8 @@ class EngineArgs:
     max_num_batched_tokens: Optional[int] = None
     max_num_seqs: int = 256
     max_paddings: int = 256
+    speculative_model: Optional[str] = None
+    num_speculative_tokens: int = 4
     disable_log_stats: bool = False
     revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
@@ -129,6 +131,8 @@ class EngineArgs:
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
             max_paddings=self.max_paddings,
+            speculative_model=self.speculative_model,
+            num_speculative_tokens=self.num_speculative_tokens,
         )
         device_config = DeviceConfig(self.device)
         lora_config = LoRAConfig(

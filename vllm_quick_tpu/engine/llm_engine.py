@@ -84,9 +84,28 @@ class LLMEngine:
                 tensor_parallel_size=parallel_config.tensor_parallel_size,
                 data_parallel_size=parallel_config.data_parallel_size,
                 expert_parallel_size=parallel_config.expert_parallel_size)
-        self.worker = Worker(model_config, parallel_config,
-                             scheduler_config, device_config, cache_config,
-                             lora_config, ctx=ctx, mesh=mesh)
+        if getattr(scheduler_config, "speculative_model", None):
+            from vllm_quick_tpu.worker.spec_decode.spec_worker import (
+                SpecDecodeWorker)
+            draft_config = ModelConfig(
+                model=scheduler_config.speculative_model,
+                tokenizer=model_config.tokenizer,
+                dtype=model_config.dtype,
+                seed=model_config.seed,
+                max_model_len=model_config.max_model_len,
+                trust_remote_code=model_config.trust_remote_code,
+            )
+            self.worker = SpecDecodeWorker(
+                model_config, parallel_config, scheduler_config,
+                device_config, cache_config, lora_config, ctx=ctx,
+                mesh=mesh, draft_model_config=draft_config,
+                num_speculative_tokens=scheduler_config
+                .num_speculative_tokens)
+        else:
+            self.worker = Worker(model_config, parallel_config,
+                                 scheduler_config, device_config,
+                                 cache_config, lora_config, ctx=ctx,
+                                 mesh=mesh)
         self.worker.init_model()
         self.worker.load_model()
         self._init_cache()
@@ -280,6 +299,22 @@ class LLMEngine:
         # Prompt logprobs.
         if outputs.prompt_logprobs is not None:
             seq_group.prompt_logprobs = outputs.prompt_logprobs
+
+        if getattr(outputs, "chained", False):
+            # Speculative decoding: the samples are sequential tokens
+            # for the single candidate; append until a stop triggers.
+            seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+            assert len(seqs) == 1, "chained outputs need one candidate"
+            seq = seqs[0]
+            for sample in outputs.samples:
+                seq.append_token_id(sample.output_token, sample.logprobs)
+                self._decode_sequence(seq, seq_group.sampling_params)
+                self._check_stop(seq, seq_group.sampling_params)
+                if seq.is_finished():
+                    break
+            if seq.is_finished():
+                self.scheduler.free_seq(seq)
+            return
 
         samples = outputs.samples
         parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)

@@ -411,14 +411,21 @@ class SequenceOutput:
 
 
 class SequenceGroupOutput:
-    """Sampler results for one group in one step."""
+    """Sampler results for one group in one step.
 
-    __slots__ = ("samples", "prompt_logprobs")
+    ``chained=True`` marks a speculative-decoding result: the samples
+    are SEQUENTIAL tokens for one parent (append in order), not
+    per-candidate alternatives.
+    """
+
+    __slots__ = ("samples", "prompt_logprobs", "chained")
 
     def __init__(self, samples: List[SequenceOutput],
-                 prompt_logprobs: Optional[PromptLogprobs]) -> None:
+                 prompt_logprobs: Optional[PromptLogprobs],
+                 chained: bool = False) -> None:
         self.samples = samples
         self.prompt_logprobs = prompt_logprobs
+        self.chained = chained
 
     def __repr__(self) -> str:
         return (f"SequenceGroupOutput({self.samples}, "

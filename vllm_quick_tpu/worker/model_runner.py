@@ -152,6 +152,31 @@ class ModelRunner:
         self._echo_steps[k] = step
         return step
 
+    def get_score_step(self):
+        """Prompt-shaped step returning ALL positions' logits
+        [B, L, V] — the target-model scorer for speculative decoding
+        (draft tokens ride a short prefix-attention prefill)."""
+        if getattr(self, "_score_step", None) is not None:
+            return self._score_step
+        model = self.model
+
+        def _step_score(params, input_ids, positions, kv_caches, meta,
+                        prompt_lens):
+            hidden, new_caches = model.forward(params, input_ids,
+                                               positions, kv_caches, meta)
+            b, l, h = hidden.shape
+            logits = model.compute_logits(
+                params, hidden.reshape(b * l, h))
+            return logits.reshape(b, l, -1), new_caches
+
+        if self._world > 1:
+            from vllm_quick_tpu.parallel.sharding import make_sharded_step
+            self._score_step = make_sharded_step(_step_score, self.mesh,
+                                                 self._param_specs)
+        else:
+            self._score_step = jax.jit(_step_score, donate_argnums=(3,))
+        return self._score_step
+
     # -- input preparation -----------------------------------------------
 
     def _slot(self, block_table: List[int], pos: int) -> int:
