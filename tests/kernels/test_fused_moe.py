@@ -1,9 +1,16 @@
 """fused_moe vs a per-token loop reference (mirror of the reference's
-tests/kernels/test_moe.py: Triton fused_moe vs torch loop)."""
+tests/kernels/test_moe.py: Triton fused_moe vs torch loop), plus the
+grouped quantized expert kernel vs the dequantized loop."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from vllm_quick_tpu.ops.fused_moe import fused_moe, moe_routing
+from vllm_quick_tpu.ops.fused_moe import (build_expert_slots, fused_moe,
+                                          moe_quant_expert_ffn,
+                                          moe_routing, topk_routing)
+from vllm_quick_tpu.ops.quant_formats import (dequantize,
+                                              quantize_reference,
+                                              stack_quantized_weights)
 
 
 def ref_moe(x, logits, w13, w2, top_k, renormalize):
@@ -40,3 +47,70 @@ def test_fused_moe_matches_loop():
         want = ref_moe(x, logits, w13, w2, k, renorm)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_build_expert_slots():
+    top_w = jnp.asarray([[0.6, 0.4], [0.7, 0.3]], jnp.float32)
+    top_i = jnp.asarray([[1, 3], [1, 3]], jnp.int32)
+    sel, gates = build_expert_slots(top_w, top_i, num_experts=6)
+    sel = np.asarray(sel)
+    gates = np.asarray(gates)
+    assert sel.shape == (4,) and gates.shape == (4, 2)
+    assert set(sel[:2]) == {1, 3}
+    # Dead slots duplicate a live expert with zero gate.
+    assert all(s in (1, 3) for s in sel[2:])
+    assert np.all(gates[2:] == 0)
+    # Live gates land in the right slots.
+    for t in range(2):
+        total = {int(sel[s]): gates[s, t] for s in range(2)}
+        assert total[1] == pytest.approx(0.6 if t == 0 else 0.7)
+        assert total[3] == pytest.approx(0.4 if t == 0 else 0.3)
+
+
+@pytest.mark.parametrize("t", [1, 3, 8])
+@pytest.mark.parametrize("e,k", [(4, 2), (8, 2)])
+def test_moe_quant_expert_ffn_matches_dequant_loop(t, e, k):
+    rng = np.random.default_rng(t * 100 + e)
+    d, f = 256, 256
+    x = (rng.standard_normal((t, d)) * 0.5).astype(np.float32)
+    logits = rng.standard_normal((t, e)).astype(np.float32)
+    qw13 = stack_quantized_weights([
+        quantize_reference(
+            rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.1)
+        for _ in range(e)])
+    qw2 = stack_quantized_weights([
+        quantize_reference(
+            rng.standard_normal((f, d)).astype(np.float32) * 0.1)
+        for _ in range(e)])
+
+    top_w, top_i = topk_routing(jnp.asarray(logits), k)
+    got = moe_quant_expert_ffn(
+        jnp.asarray(x, jnp.float32).astype(jnp.bfloat16),
+        top_w, top_i, qw13, qw2, e, interpret=True)
+
+    # Reference: dequantized per-token loop.
+    import dataclasses
+    w13d = np.stack([
+        np.asarray(dequantize(dataclasses.replace(
+            qw13, packed=qw13.packed[i], scales=qw13.scales[i],
+            zeros=qw13.zeros[i]), dtype=jnp.float32))
+        for i in range(e)])
+    w2d = np.stack([
+        np.asarray(dequantize(dataclasses.replace(
+            qw2, packed=qw2.packed[i], scales=qw2.scales[i],
+            zeros=qw2.zeros[i]), dtype=jnp.float32))
+        for i in range(e)])
+    tw = np.asarray(top_w)
+    ti = np.asarray(top_i)
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(
+        jnp.float32))
+    want = np.zeros((t, d), np.float32)
+    for i in range(t):
+        for j in range(k):
+            eid = ti[i, j]
+            h = xb[i] @ w13d[eid]
+            g, u = np.split(h, 2)
+            act = g / (1 + np.exp(-g)) * u
+            want[i] += tw[i, j] * (act @ w2d[eid])
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32), want,
+                               rtol=0.05, atol=0.05)

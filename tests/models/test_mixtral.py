@@ -2,6 +2,7 @@
 (reference: tests/models has no MoE golden — this exceeds its coverage;
 mixtral.py:66-130 is the TP-sharded expert scheme being validated).
 """
+import dataclasses
 import tempfile
 
 import jax
@@ -79,15 +80,26 @@ def test_mixtral_quant_close_to_dense(tiny_mixtral):
     qparams = qmodel.load_params(weights)
     # The fp32 checkpoint loads dense; quantize the expert + attention
     # linears on the fly to exercise the quantized execution path.
+    from vllm_quick_tpu.ops.quant_formats import stack_quantized_weights
     pb = ParamBuilder(weights, None, "float32")
     for i, layer in enumerate(qparams["layers"]):
         moe = f"model.layers.{i}.block_sparse_moe"
-        for e, ew in enumerate(layer["experts"]):
-            ew["w13"] = pb.quantize_dense(
+        w13s, w2s = [], []
+        for e in range(qmodel.num_experts):
+            w13s.append(pb.quantize_dense(
                 [f"{moe}.experts.{e}.w1", f"{moe}.experts.{e}.w3"],
-                shard="col", group_size=64)
-            ew["w2"] = pb.quantize_dense([f"{moe}.experts.{e}.w2"],
-                                         shard="row", group_size=64)
+                shard="col", group_size=64).qw)
+            w2s.append(pb.quantize_dense(
+                [f"{moe}.experts.{e}.w2"], shard="row",
+                group_size=64).qw)
+        layer.pop("moe_w13", None)
+        layer.pop("moe_w2", None)
+        from vllm_quick_tpu.model_executor.layers.linear import (
+            LinearWeights)
+        layer["experts_w13"] = LinearWeights(
+            qw=stack_quantized_weights(w13s), shard="col")
+        layer["experts_w2"] = LinearWeights(
+            qw=stack_quantized_weights(w2s), shard="row")
     quant_logits, _ = run_prefill(qmodel, qparams, PROMPT)
     last_d = dense_logits[-1]
     last_q = quant_logits[-1]

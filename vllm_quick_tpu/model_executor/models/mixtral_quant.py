@@ -15,10 +15,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from vllm_quick_tpu.model_executor.layers.linear import (LinearWeights,
                                                          apply_linear)
 from vllm_quick_tpu.model_executor.models.llama import LlamaForCausalLM
 from vllm_quick_tpu.ops.fused_moe import moe_routing
+from vllm_quick_tpu.ops.quant_formats import quant_matmul_ref
+
+
+def _expert_view(stacked, e: int):
+    """2-D view of one expert in a stacked QuantizedWeight."""
+    return dataclasses.replace(stacked, packed=stacked.packed[e],
+                               scales=stacked.scales[e],
+                               zeros=stacked.zeros[e])
 
 
 class MixtralQuantForCausalLM(LlamaForCausalLM):
@@ -37,38 +47,80 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
         self.top_k = hf_config.num_experts_per_tok
 
     def _mlp_block(self, layer, x, lora_indices=None):
+        from vllm_quick_tpu.ops.fused_moe import (moe_quant_expert_ffn,
+                                                  topk_routing)
+        from vllm_quick_tpu.ops.quant_matmul import (
+            FUSED_KERNEL_MAX_TOKENS, default_backend_is_tpu)
         lead = x.shape[:-1]
         xf = x.reshape(-1, x.shape[-1])
+        t = xf.shape[0]
         router_logits = apply_linear(layer["router"], xf)    # [T, E]
-        gate = moe_routing(router_logits, self.top_k,
-                           renormalize=True)                 # [T, E]
-        out = None
-        for e, ew in enumerate(layer["experts"]):
-            gu = apply_linear(ew["w13"], xf)
-            g, u = jnp.split(gu, 2, axis=-1)
-            h = jax.nn.silu(g.astype(jnp.float32)).astype(xf.dtype) * u
-            y = apply_linear(ew["w2"], h).astype(jnp.float32)
-            y = y * gate[:, e:e + 1]
-            out = y if out is None else out + y
+        if "moe_w13" in layer:
+            # Dense checkpoint loaded through this class: use the
+            # stacked-einsum path (models/mixtral.py).
+            from vllm_quick_tpu.ops.fused_moe import fused_moe
+            gate = moe_routing(router_logits, self.top_k,
+                               renormalize=True)
+            out = fused_moe(xf, gate, layer["moe_w13"], layer["moe_w2"],
+                            ctx=self.ctx)
+            return out.reshape(*lead, -1)
+        qw13 = layer["experts_w13"].qw
+        qw2 = layer["experts_w2"].qw
+
+        if (t <= FUSED_KERNEL_MAX_TOKENS and qw13.fmt == "i8pair"
+                and default_backend_is_tpu()):
+            # Grouped Pallas kernel: streams only the batch's selected
+            # experts' weights (decode regime is HBM-bound).
+            top_w, top_i = topk_routing(router_logits, self.top_k)
+            out = moe_quant_expert_ffn(xf, top_w, top_i, qw13, qw2,
+                                       self.num_experts)
+            out = out.astype(jnp.float32)
+        else:
+            # Prefill: dequantize each expert once (weight bytes are
+            # amortized over many tokens) and run the dense masked path.
+            gate = moe_routing(router_logits, self.top_k,
+                               renormalize=True)             # [T, E]
+            out = None
+            for e in range(self.num_experts):
+                gu = quant_matmul_ref(xf, _expert_view(qw13, e))
+                g, u = jnp.split(gu, 2, axis=-1)
+                h = jax.nn.silu(g.astype(jnp.float32)).astype(
+                    xf.dtype) * u
+                y = quant_matmul_ref(h, _expert_view(qw2, e)).astype(
+                    jnp.float32)
+                y = y * gate[:, e:e + 1]
+                out = y if out is None else out + y
         out = self.ctx.tp_all_reduce(out).astype(xf.dtype)
         return out.reshape(*lead, -1)
 
     def _build_mlp_params(self, pb, pfx: str, layer: Dict[str, Any]
                           ) -> None:
+        from vllm_quick_tpu.ops.quant_formats import stack_quantized_weights
         moe = f"{pfx}.block_sparse_moe"
         router, _ = pb.linear_from_arrays(
             [pb.weights[f"{moe}.gate.weight"].T], shard="none")
         layer["router"] = router
-        experts = []
+        w13s, w2s = [], []
         for e in range(self.num_experts):
             w13, _ = pb.linear([f"{moe}.experts.{e}.w1",
                                 f"{moe}.experts.{e}.w3"], shard="col")
             w2, _ = pb.linear([f"{moe}.experts.{e}.w2"], shard="row")
-            experts.append({"w13": w13, "w2": w2})
-        layer["experts"] = experts
+            w13s.append(w13.qw if w13.qw is not None else w13.w)
+            w2s.append(w2.qw if w2.qw is not None else w2.w)
+        if w13s[0] is None or not hasattr(w13s[0], "fmt"):
+            # Unquantized checkpoint: fall back to the dense stacked
+            # arrays (einsum path).
+            layer["moe_w13"] = jnp.stack(w13s)
+            layer["moe_w2"] = jnp.stack(w2s)
+        else:
+            layer["experts_w13"] = LinearWeights(
+                qw=stack_quantized_weights(w13s), shard="col")
+            layer["experts_w2"] = LinearWeights(
+                qw=stack_quantized_weights(w2s), shard="row")
 
     def init_dummy_params(self, seed: int = 0) -> Dict[str, Any]:
-        from vllm_quick_tpu.ops.quant_formats import dummy_quantized_weight
+        from vllm_quick_tpu.ops.quant_formats import (
+            dummy_quantized_weight, stack_quantized_weights)
         params = super().init_dummy_params(seed)
         rng = np.random.default_rng(seed + 1)
         e_dim = self.hidden_size
@@ -79,12 +131,12 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
             layer["router"] = LinearWeights(w=jnp.asarray(
                 rng.standard_normal((e_dim, self.num_experts)) * 0.02,
                 dtype=self.dtype))
-            layer["experts"] = [
-                {"w13": LinearWeights(
-                    qw=dummy_quantized_weight(e_dim, 2 * f_local),
-                    shard="col"),
-                 "w2": LinearWeights(
-                    qw=dummy_quantized_weight(f_local, e_dim),
-                    shard="row")}
-                for _ in range(self.num_experts)]
+            layer["experts_w13"] = LinearWeights(
+                qw=stack_quantized_weights(
+                    [dummy_quantized_weight(e_dim, 2 * f_local)
+                     for _ in range(self.num_experts)]), shard="col")
+            layer["experts_w2"] = LinearWeights(
+                qw=stack_quantized_weights(
+                    [dummy_quantized_weight(f_local, e_dim)
+                     for _ in range(self.num_experts)]), shard="row")
         return params

@@ -353,6 +353,25 @@ def dummy_quantized_weight(k: int, n: int, group_size: int = 128,
 # big-batch dequant-then-GEMM path, mirroring awq.py:155-162)
 # ---------------------------------------------------------------------------
 
+def stack_quantized_weights(qws) -> QuantizedWeight:
+    """Stack per-expert QuantizedWeights into one [E, ...] stack for the
+    grouped MoE kernel. All experts must share layout and format."""
+    import dataclasses
+    base = qws[0]
+    for q in qws[1:]:
+        assert (q.fmt, q.shape, q.padded_in, q.padded_out) == \
+            (base.fmt, base.shape, base.padded_in, base.padded_out), (
+                "heterogeneous expert quant layouts cannot be stacked")
+        assert q.perm is None and q.lut is None, (
+            "act-order / LUT formats are not stackable")
+    return dataclasses.replace(
+        base,
+        packed=jnp.stack([q.packed for q in qws]),
+        scales=jnp.stack([q.scales for q in qws]),
+        zeros=jnp.stack([q.zeros for q in qws]),
+    )
+
+
 def unpack_to_int(qw: QuantizedWeight) -> jax.Array:
     """[K, N] int32-valued quantized weights in natural order (unpadded)."""
     if qw.fmt in ("u4", "ref", "sqllm"):

@@ -37,11 +37,14 @@ def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str
     """Spec tree for a packed INT4 weight. All three arrays share the
     [K-like, N] layout, so col-parallel shards axis 1 and row-parallel
     shards axis 0 (each rank's K-shard was packed independently, so the
-    global packed array is a rank-major concat along axis 0)."""
+    global packed array is a rank-major concat along axis 0). Stacked
+    expert weights [E, K-like, N] keep the expert axis unsharded here
+    (EP shards it at the model level)."""
+    lead = (None,) * (getattr(qw.packed, "ndim", 2) - 2)
     if shard == "col":
-        arr = P(None, tp_axis)
+        arr = P(*lead, None, tp_axis)
     elif shard == "row":
-        arr = P(tp_axis, None)
+        arr = P(*lead, tp_axis, None)
     else:
         arr = P()
     perm = None
