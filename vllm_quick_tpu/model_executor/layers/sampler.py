@@ -73,9 +73,11 @@ def _apply_top_k_top_p_min_p(logits, t: SamplingTensors,
     return logits
 
 
-@functools.partial(jax.jit, static_argnames=("flags_key",))
-def _sample_jit(logits: jax.Array, t: SamplingTensors, flags_key: tuple):
-    flags = SamplingFlags(*flags_key)
+def sample_logits(logits: jax.Array, t: SamplingTensors,
+                  flags: SamplingFlags):
+    """Traceable sampling body — also inlined into the fused
+    step+sample jit (worker/model_runner.py) so decode needs one
+    dispatch instead of two."""
     logits = logits.astype(jnp.float32)
     # Align the logits row count to the sampling-row bucket inside the
     # jit (an eager slice/pad would cost an extra device dispatch).
@@ -123,6 +125,11 @@ def _sample_jit(logits: jax.Array, t: SamplingTensors, flags_key: tuple):
         top_lp = jnp.zeros((s, 1), jnp.float32)
         top_ids = jnp.zeros((s, 1), jnp.int32)
     return chosen, chosen_logprobs, top_lp, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("flags_key",))
+def _sample_jit(logits: jax.Array, t: SamplingTensors, flags_key: tuple):
+    return sample_logits(logits, t, SamplingFlags(*flags_key))
 
 
 class Sampler:

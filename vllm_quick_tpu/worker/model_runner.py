@@ -100,6 +100,7 @@ class ModelRunner:
 
         world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
         self._world = world
+        self._fused_step = None
         if world > 1:
             from vllm_quick_tpu.parallel.sharding import (
                 make_sharded_step, param_pspecs)
@@ -108,6 +109,24 @@ class ModelRunner:
             self._jit_step = make_sharded_step(_step, self.mesh, specs)
         else:
             self._jit_step = jax.jit(_step, donate_argnums=(3,))
+
+            # Fused step+sample: one dispatch per engine step instead of
+            # two (the driver-side dispatch is a full host round trip on
+            # remote-attached chips; see [[engine-host-overhead]] rule).
+            from vllm_quick_tpu.model_executor.layers.sampler import (
+                SamplingFlags, sample_logits)
+
+            def _step_sample(params, input_ids, positions, kv_caches,
+                             meta, prompt_lens, tensors, flags_key):
+                logits, new_caches = _step(params, input_ids, positions,
+                                           kv_caches, meta, prompt_lens)
+                outs = sample_logits(logits, tensors,
+                                     SamplingFlags(*flags_key))
+                return outs, new_caches
+
+            self._fused_step = jax.jit(
+                _step_sample, donate_argnums=(3,),
+                static_argnames=("flags_key",))
 
     def _get_echo_step(self, k: int):
         """Prefill step variant that additionally returns all-position
@@ -394,15 +413,41 @@ class ModelRunner:
         if not metas:
             return None, kv_caches
         payload = self.prepare_step_inputs(metas)
+
+        # Fast path: step and sampler fused into ONE jit dispatch.
+        if (self._fused_step is not None and not payload.get("echo_k")
+                and not any(m.sampling_params.logits_processors
+                            for m in metas)):
+            rows = self._sample_rows(metas)
+            seq_data, params, _, _ = rows
+            self._rng_counter += 1
+            tensors, flags, _ = build_sampling_tensors(
+                seq_data, params, self.model_config.get_vocab_size(),
+                step_seed=self._rng_counter)
+            meta = InputMetadata(
+                is_prompt=bool(payload["is_prompt"]),
+                slot_mapping=payload["slot_mapping"],
+                prompt_lens=payload["prompt_lens"]
+                if bool(payload["is_prompt"]) else None,
+                context_lens=payload.get("context_lens"),
+                block_tables=payload.get("block_tables"),
+                lora_indices=payload.get("lora_indices"),
+            )
+            outs, kv_caches = self._fused_step(
+                self.params, payload["ids"], payload["pos"], kv_caches,
+                meta, payload["prompt_lens"], tensors,
+                flags_key=flags.key())
+            fetched = jax.device_get(outs)
+            return self._assemble(metas, rows, *fetched, None), kv_caches
+
         logits, kv_caches, echo_extras = self.run_prepared(
             payload, kv_caches)
         sampler_output = self._sample(metas, logits, echo_extras)
         return sampler_output, kv_caches
 
-    def _sample(self, metas: List[SequenceGroupMetadata],
-                logits: jax.Array,
-                echo_extras=None) -> SamplerOutput:
-        # One sampling row per (group) at prefill / per (seq) at decode.
+    def _sample_rows(self, metas: List[SequenceGroupMetadata]):
+        """One sampling row per group at prefill / per seq at decode —
+        the SAME order as the prepared batch inputs."""
         seq_data = []
         params: List[SamplingParams] = []
         row_seq_ids: List[int] = []
@@ -415,6 +460,13 @@ class ModelRunner:
                 params.append(m.sampling_params)
                 row_seq_ids.append(sid)
                 row_groups.append(gi)
+        return seq_data, params, row_seq_ids, row_groups
+
+    def _sample(self, metas: List[SequenceGroupMetadata],
+                logits: jax.Array,
+                echo_extras=None) -> SamplerOutput:
+        rows = self._sample_rows(metas)
+        seq_data, params, row_seq_ids, row_groups = rows
 
         # User logits processors run host-side on the affected rows
         # (reference sampler.py:152-167); rare path — costs one extra
@@ -442,20 +494,24 @@ class ModelRunner:
         fetched = jax.device_get(
             (chosen, chosen_lp, top_lp, top_ids, echo_extras))
         chosen, chosen_lp, top_lp, top_ids, echo_extras = fetched
+        return self._assemble(metas, rows, chosen, chosen_lp, top_lp,
+                              top_ids, echo_extras)
 
-        # Host-side assembly into SequenceGroupOutputs.
+    def _assemble(self, metas, rows, chosen, chosen_lp, top_lp, top_ids,
+                  echo_extras) -> SamplerOutput:
+        """Host-side assembly into SequenceGroupOutputs."""
+        seq_data, params, row_seq_ids, row_groups = rows
         out: SamplerOutput = []
-        row = 0
         for gi, m in enumerate(metas):
-            rows = [r for r in range(len(row_groups))
-                    if row_groups[r] == gi]
+            grp_rows = [r for r in range(len(row_groups))
+                        if row_groups[r] == gi]
             sp_params = m.sampling_params
             samples: List[SequenceOutput] = []
             if sp_params.use_beam_search:
-                samples = self._beam_samples(m, rows, row_seq_ids, seq_data,
-                                             top_lp, top_ids)
+                samples = self._beam_samples(m, grp_rows, row_seq_ids,
+                                             seq_data, top_lp, top_ids)
             elif m.is_prompt and sp_params.best_of > 1:
-                r = rows[0]
+                r = grp_rows[0]
                 for j in range(sp_params.best_of):
                     token = int(chosen[r, j])
                     lp = self._logprobs_dict(token, float(chosen_lp[r, j]),
@@ -463,7 +519,7 @@ class ModelRunner:
                                              top_ids[r])
                     samples.append(SequenceOutput(row_seq_ids[r], token, lp))
             else:
-                for r in rows:
+                for r in grp_rows:
                     token = int(chosen[r, 0])
                     lp = self._logprobs_dict(token, float(chosen_lp[r, 0]),
                                              sp_params.logprobs, top_lp[r],
@@ -472,7 +528,8 @@ class ModelRunner:
             prompt_lp = None
             if (echo_extras is not None and m.is_prompt
                     and sp_params.prompt_logprobs is not None):
-                prompt_lp = self._prompt_logprobs(m, rows[0], echo_extras)
+                prompt_lp = self._prompt_logprobs(m, grp_rows[0],
+                                                  echo_extras)
             out.append(SequenceGroupOutput(samples,
                                            prompt_logprobs=prompt_lp))
         return out
