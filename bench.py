@@ -162,7 +162,11 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
     from vllm_quick_tpu.ops.paged_attention import paged_decode_attention
 
     e = model.hidden_size
-    layers = params["layers"]
+    # Chains sample 4 (identical) layers and scale to the full depth —
+    # keeps Mosaic compile time bounded while measuring the same tiles.
+    n_sample = 4
+    scale = model.num_layers / n_sample
+    layers = params["layers"][:n_sample]
 
     import functools
 
@@ -200,8 +204,8 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
                 x = x + dn
         return acc
 
-    gemm_ms = slope_ms(gemm_chain, x0)
-    gemm_bytes = sum(_nbytes(l[k].qw) for l in layers
+    gemm_ms = slope_ms(gemm_chain, x0, r_lo=1, r_hi=3) * scale
+    gemm_bytes = sum(_nbytes(l[k].qw) for l in params["layers"]
                      for k in ("qkv", "o", "gate_up", "down"))
 
     # 2) Paged attention: 32 chained decode-attention calls.
@@ -215,9 +219,10 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
                 q = q + out * 1e-3
         return q
 
-    attn_ms = slope_ms(attn_chain, q0, caches)
+    attn_ms = slope_ms(attn_chain, q0, caches[:n_sample],
+                       r_lo=1, r_hi=5) * scale
     ctx = int(np.asarray(meta.context_lens)[0])
-    attn_bytes = (len(caches) * batch * 2 * model.num_kv_heads
+    attn_bytes = (model.num_layers * batch * 2 * model.num_kv_heads
                   * ctx * model.head_dim
                   * caches[0].dtype.itemsize)
 
@@ -233,7 +238,8 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
                       for c in caches]
         return caches[0][0, 0, 0, 0, 0]
 
-    write_ms = slope_ms(write_chain, k0, caches)
+    write_ms = slope_ms(write_chain, k0, caches[:n_sample],
+                        r_lo=1, r_hi=5) * scale
 
     # 4) LM head: chained unembed at the real vocab.
     h0 = jnp.zeros((batch, e), jnp.bfloat16)

@@ -36,7 +36,8 @@ from vllm_quick_tpu.ops.quant_formats import (EFF_GROUP, SUPERBLOCK,
 # fused kernel is tuned for the HBM-bound decode regime).
 FUSED_KERNEL_MAX_TOKENS = 64
 # Packed-weight VMEM tile budget (bytes); doubled by pipeline buffering.
-_TILE_BUDGET = 3 * 1024 * 1024
+_TILE_BUDGET = int(os.environ.get("VLLM_TPU_QMM_BUDGET",
+                                  3 * 1024 * 1024))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,6 +163,13 @@ def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
     flops = 2 * mp * kp * np_
     bytes_accessed = (kp * np_ // 2 + mp * kp * 2 +
                       2 * (kp // EFF_GROUP) * np_ * 2 + mp * np_ * 2)
+    kwargs = {}
+    if not interpret and os.environ.get("VLLM_TPU_QMM_DIMSEM"):
+        # N tiles are independent ("parallel"); K carries the
+        # accumulator ("arbitrary"). Lets Mosaic relax cross-iteration
+        # ordering when profiling says it helps.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -178,6 +186,7 @@ def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
+        **kwargs,
     )(x, packed, scales, zeros)
 
 
