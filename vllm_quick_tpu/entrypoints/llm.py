@@ -1,7 +1,6 @@
-"""Offline batch-inference API.
-
-Reference parity: vllm/entrypoints/llm.py:14-220 — the ``LLM`` class.
-"""
+"""Offline batch-inference API (capability parity:
+vllm/entrypoints/llm.py — the ``LLM`` class)."""
+import itertools
 from typing import List, Optional, Union
 
 from tqdm import tqdm
@@ -10,53 +9,21 @@ from vllm_quick_tpu.engine.arg_utils import EngineArgs
 from vllm_quick_tpu.engine.llm_engine import LLMEngine
 from vllm_quick_tpu.outputs import RequestOutput
 from vllm_quick_tpu.sampling_params import SamplingParams
-from vllm_quick_tpu.utils import Counter
 
 
 class LLM:
-    """An LLM for offline batched generation over a TPU mesh."""
+    """Batched offline generation over a TPU mesh.
 
-    def __init__(
-        self,
-        model: str,
-        tokenizer: Optional[str] = None,
-        tokenizer_mode: str = "auto",
-        trust_remote_code: bool = False,
-        tensor_parallel_size: int = 1,
-        dtype: str = "auto",
-        quantization: Optional[str] = None,
-        revision: Optional[str] = None,
-        tokenizer_revision: Optional[str] = None,
-        seed: int = 0,
-        gpu_memory_utilization: float = 0.9,
-        swap_space: int = 4,
-        enforce_eager: bool = False,
-        max_context_len_to_capture: int = 8192,
-        disable_custom_all_reduce: bool = False,
-        **kwargs,
-    ) -> None:
-        if "disable_log_stats" not in kwargs:
-            kwargs["disable_log_stats"] = True
-        engine_args = EngineArgs(
-            model=model,
-            tokenizer=tokenizer,
-            tokenizer_mode=tokenizer_mode,
-            trust_remote_code=trust_remote_code,
-            tensor_parallel_size=tensor_parallel_size,
-            dtype=dtype,
-            quantization=quantization,
-            revision=revision,
-            tokenizer_revision=tokenizer_revision,
-            seed=seed,
-            gpu_memory_utilization=gpu_memory_utilization,
-            swap_space=swap_space,
-            enforce_eager=enforce_eager,
-            max_context_len_to_capture=max_context_len_to_capture,
-            disable_custom_all_reduce=disable_custom_all_reduce,
-            **kwargs,
-        )
-        self.llm_engine = LLMEngine.from_engine_args(engine_args)
-        self.request_counter = Counter()
+    Thin veneer over :class:`LLMEngine`: enqueue every request, then
+    pump the engine's continuous-batching step loop until the last one
+    finishes. Keyword arguments map 1:1 onto :class:`EngineArgs`.
+    """
+
+    def __init__(self, model: str, **engine_kwargs) -> None:
+        engine_kwargs.setdefault("disable_log_stats", True)
+        self.llm_engine = LLMEngine.from_engine_args(
+            EngineArgs(model=model, **engine_kwargs))
+        self._next_id = itertools.count()
 
     def get_tokenizer(self):
         return self.llm_engine.tokenizer.tokenizer
@@ -73,51 +40,49 @@ class LLM:
         use_tqdm: bool = True,
         lora_request=None,
     ) -> List[RequestOutput]:
-        if prompts is None and prompt_token_ids is None:
-            raise ValueError("Either prompts or prompt_token_ids must be "
-                             "provided.")
+        """Generate completions, ordered like the inputs."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        n = self._count_requests(prompts, prompt_token_ids)
+        params = sampling_params or SamplingParams()
+
+        for i in range(n):
+            self.llm_engine.add_request(
+                request_id=str(next(self._next_id)),
+                prompt=None if prompts is None else prompts[i],
+                sampling_params=params,
+                prompt_token_ids=(None if prompt_token_ids is None
+                                  else prompt_token_ids[i]),
+                lora_request=lora_request,
+                prefix_pos=(prefix_pos[i]
+                            if isinstance(prefix_pos, list) else prefix_pos),
+            )
+        return self._drain(use_tqdm)
+
+    @staticmethod
+    def _count_requests(prompts, prompt_token_ids) -> int:
+        if prompts is None and prompt_token_ids is None:
+            raise ValueError(
+                "need prompts and/or prompt_token_ids")
         if (prompts is not None and prompt_token_ids is not None
                 and len(prompts) != len(prompt_token_ids)):
-            raise ValueError("The lengths of prompts and prompt_token_ids "
-                             "must be the same.")
-        if sampling_params is None:
-            sampling_params = SamplingParams()
+            raise ValueError(
+                f"got {len(prompts)} prompts but "
+                f"{len(prompt_token_ids)} prompt_token_ids")
+        return len(prompts if prompts is not None else prompt_token_ids)
 
-        num_requests = len(prompts) if prompts is not None else len(
-            prompt_token_ids)
-        for i in range(num_requests):
-            prompt = prompts[i] if prompts is not None else None
-            token_ids = None if prompt_token_ids is None else \
-                prompt_token_ids[i]
-            pp = prefix_pos[i] if isinstance(prefix_pos, list) else \
-                prefix_pos
-            self._add_request(prompt, sampling_params, token_ids,
-                              lora_request=lora_request, prefix_pos=pp)
-        return self._run_engine(use_tqdm)
-
-    def _add_request(self, prompt, sampling_params, prompt_token_ids,
-                     lora_request=None, prefix_pos=None) -> None:
-        request_id = str(next(self.request_counter))
-        self.llm_engine.add_request(request_id, prompt, sampling_params,
-                                    prompt_token_ids,
-                                    lora_request=lora_request,
-                                    prefix_pos=prefix_pos)
-
-    def _run_engine(self, use_tqdm: bool) -> List[RequestOutput]:
-        if use_tqdm:
-            num_requests = self.llm_engine.get_num_unfinished_requests()
-            pbar = tqdm(total=num_requests, desc="Processed prompts")
-        outputs: List[RequestOutput] = []
+    def _drain(self, use_tqdm: bool) -> List[RequestOutput]:
+        """Step the engine until every queued request completes."""
+        pbar = tqdm(total=self.llm_engine.get_num_unfinished_requests(),
+                    desc="Processed prompts") if use_tqdm else None
+        done: List[RequestOutput] = []
         while self.llm_engine.has_unfinished_requests():
-            step_outputs = self.llm_engine.step()
-            for output in step_outputs:
-                if output.finished:
-                    outputs.append(output)
-                    if use_tqdm:
+            for out in self.llm_engine.step():
+                if out.finished:
+                    done.append(out)
+                    if pbar is not None:
                         pbar.update(1)
-        if use_tqdm:
+        if pbar is not None:
             pbar.close()
-        outputs = sorted(outputs, key=lambda x: int(x.request_id))
-        return outputs
+        done.sort(key=lambda o: int(o.request_id))
+        return done

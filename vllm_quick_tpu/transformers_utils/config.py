@@ -9,10 +9,9 @@ from transformers import AutoConfig, PretrainedConfig
 
 from vllm_quick_tpu.transformers_utils.configs import (BaiChuanConfig,
                                                        ChatGLMConfig,
+                                                       DeepseekConfig,
                                                        InternLM2Config,
                                                        QWenConfig)
-from vllm_quick_tpu.transformers_utils.configs.deepseek import (
-    DeepseekConfig)
 
 _CONFIG_REGISTRY = {
     "baichuan": BaiChuanConfig,
