@@ -61,6 +61,32 @@ def test_spec_decode_wrong_draft_still_exact(baseline):
     assert worker.spec_steps > 0
 
 
+def test_spec_decode_stop_conditions_match(baseline):
+    """Stops must trigger mid-chain exactly as they would token-by-token:
+    max_tokens truncation and stop_token_ids both land on the same
+    boundary as non-speculative decoding."""
+    from vllm_quick_tpu import LLM, SamplingParams
+    d, _ = baseline
+    llm = LLM(model=d, dtype="float32", enforce_eager=True,
+              num_tpu_blocks_override=256, max_model_len=128,
+              max_num_batched_tokens=512, disable_log_stats=True,
+              speculative_model=d, num_speculative_tokens=4)
+    base = llm.generate(PROMPTS[:1],
+                        SamplingParams(temperature=0.0, max_tokens=9))
+    want9 = base[0].outputs[0].token_ids
+    assert len(want9) == 9  # max_tokens cuts mid-chain (9 % (k+1) != 0)
+
+    # A stop token inside the continuation must end the output there.
+    stop_tok = want9[4]
+    out = llm.generate(
+        PROMPTS[:1],
+        SamplingParams(temperature=0.0, max_tokens=12,
+                       stop_token_ids=[stop_tok]))[0]
+    got = out.outputs[0].token_ids
+    assert got == want9[:5]
+    assert out.outputs[0].finish_reason == "stop"
+
+
 def test_spec_decode_ineligible_requests_fall_back(baseline):
     """top-p sampling is outside the spec gate; the engine must still
     serve it (via the fallback path) without errors."""
