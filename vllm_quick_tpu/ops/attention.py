@@ -30,6 +30,41 @@ def make_alibi_slopes(total_num_heads: int) -> jax.Array:
     return jnp.asarray(powers, dtype=jnp.float32)
 
 
+def _flash_prefill_ok(l: int, d: int, alibi_slopes,
+                      sliding_window) -> bool:
+    """Gate for the Pallas flash kernel: plain causal attention at
+    MXU-friendly shapes on a TPU backend. Everything else uses the
+    jnp path (which is also the CPU/test ground truth)."""
+    from vllm_quick_tpu.ops.quant_matmul import default_backend_is_tpu
+    import os
+    if os.environ.get("VLLM_TPU_NO_FLASH"):
+        return False
+    return (alibi_slopes is None and sliding_window is None
+            and d % 128 == 0 and l % 128 == 0 and l >= 256
+            and default_backend_is_tpu())
+
+
+def _flash_prefill(q, k, v, scale):
+    """Causal flash attention via the Pallas TPU kernel. Right-padded
+    batches need no explicit mask: causal masking alone keeps pad KEYS
+    (which sit after every real query) out of real rows, and pad rows'
+    garbage is never read (their KV lands in the null block and only
+    the last real token's hidden state is gathered)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention)
+    b, l, hq, d = q.shape
+    hkv = k.shape[2]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if hkv != hq:
+        g = hq // hkv
+        kt = jnp.repeat(kt, g, axis=1)
+        vt = jnp.repeat(vt, g, axis=1)
+    out = flash_attention(qt, kt, vt, causal=True, sm_scale=scale)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def prefill_attention(
     q: jax.Array,              # [B, L, num_heads, D]
     k: jax.Array,              # [B, L, num_kv_heads, D]
@@ -41,10 +76,14 @@ def prefill_attention(
 ) -> jax.Array:
     """Batched causal self-attention over (padded) prompts.
 
-    fp32 softmax; GQA handled by head-group reshape without
-    materializing repeated K/V.
+    Dispatches to the Pallas flash kernel at MXU shapes (the XLA path
+    materializes the [L, L] logits and is HBM-bound — measured 7% MXU
+    at L=1024, see benchmarks/kernels/benchmark_prefill_attention.py);
+    otherwise fp32 softmax with GQA head-group reshape.
     """
     b, l, hq, d = q.shape
+    if _flash_prefill_ok(l, d, alibi_slopes, sliding_window):
+        return _flash_prefill(q, k, v, scale)
     hkv = k.shape[2]
     g = hq // hkv
     qf = q.astype(jnp.float32).reshape(b, l, hkv, g, d)
