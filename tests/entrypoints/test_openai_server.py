@@ -116,6 +116,28 @@ def test_completion(ctx):
         assert len(lp["tokens"]) == 3
         assert len(lp["top_logprobs"]) == 3
 
+        # echo + logprobs must return real prompt logprobs
+        # (reference sampler.py:426-537).
+        r = await client.post("/v1/completions", json={
+            "model": model_dir,
+            "prompt": "hello there friend",
+            "max_tokens": 2,
+            "temperature": 0.0,
+            "echo": True,
+            "logprobs": 1,
+        })
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        choice = data["choices"][0]
+        assert choice["text"].startswith("hello there friend")
+        lp = choice["logprobs"]
+        n_prompt = data["usage"]["prompt_tokens"]
+        assert len(lp["token_logprobs"]) >= n_prompt + 2
+        # First prompt position has no context to score it.
+        assert lp["token_logprobs"][0] is None
+        assert all(isinstance(v, float)
+                   for v in lp["token_logprobs"][1:n_prompt])
+
         r = await client.post("/v1/completions", json={
             "model": "nonexistent", "prompt": "x", "max_tokens": 1})
         assert r.status == 404
