@@ -73,13 +73,15 @@ def main(args):
                                llm.get_tokenizer(), args.input_len,
                                args.output_len)
 
-    for prompt_ids, output_len in requests:
-        llm._add_request(None, SamplingParams(
-            n=args.n, temperature=1.0, top_p=1.0, ignore_eos=True,
-            max_tokens=output_len), prompt_ids)
+    for i, (prompt_ids, output_len) in enumerate(requests):
+        llm.llm_engine.add_request(
+            str(i), None,
+            SamplingParams(n=args.n, temperature=1.0, top_p=1.0,
+                           ignore_eos=True, max_tokens=output_len),
+            prompt_ids)
 
     start = time.perf_counter()
-    outputs = llm._run_engine(use_tqdm=True)
+    outputs = llm._drain(use_tqdm=True)
     elapsed = time.perf_counter() - start
 
     total_in = sum(len(p) for p, _ in requests)
