@@ -154,3 +154,31 @@ def test_gptq_ingest_with_act_order(rng):
     ref = np.asarray(x, np.float32) @ w_full
     got = np.asarray(qf.quant_matmul_ref(x, qw), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t", [1, 5, 8])
+@pytest.mark.parametrize("d,f", [(512, 768), (256, 1024)])
+def test_fused_mlp_matches_two_kernel_path(t, d, f):
+    """One-call gate->silu->down kernel vs the reference chain
+    (interpret mode on CPU; on-chip numerics verified in bring-up)."""
+    import jax
+    from vllm_quick_tpu.ops.quant_matmul import fused_mlp, mlp_fusable
+
+    rng = np.random.default_rng(d + f + t)
+    wg = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    qw13 = qf.quantize_reference(np.concatenate([wg, wu], axis=1))
+    qw2 = qf.quantize_reference(w2)
+    assert mlp_fusable(qw13, qw2)
+
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    got = np.asarray(fused_mlp(x, qw13, qw2, interpret=True), np.float32)
+
+    gu = qf.quant_matmul_ref(x, qw13)
+    g, u = jnp.split(gu, 2, axis=-1)
+    h = (jax.nn.silu(g.astype(jnp.float32))
+         * u.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = np.asarray(qf.quant_matmul_ref(h, qw2), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2

@@ -35,6 +35,13 @@ from vllm_quick_tpu.model_executor.layers.vocab_embedding import (embed,
 from vllm_quick_tpu.parallel.mesh import ParallelContext
 
 
+def _flat_tokens(x) -> int:
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return n
+
+
 def alibi_slopes(total_num_heads: int) -> np.ndarray:
     """Standard ALiBi slopes (csrc reference semantics; bloom.py:46)."""
     closest_power_of_2 = 2**math.floor(math.log2(total_num_heads))
@@ -97,6 +104,11 @@ class GenericDecoder:
             alibi_slopes=self._local_alibi(),
             sliding_window=self.sliding_window)
         self.act = get_act_fn(self.act_name)
+        # Fused gate->silu->down Pallas MLP (one kernel per layer
+        # instead of two; back-to-back weight streams, +4% measured
+        # batch-1 decode). VLLM_TPU_NO_FUSED_MLP opts out.
+        import os as _os
+        self._use_fused_mlp = not _os.environ.get("VLLM_TPU_NO_FUSED_MLP")
 
     # subclasses must set: vocab_size, hidden_size, num_layers,
     # total_heads, total_kv_heads, head_dim (+ knobs) here.
@@ -199,6 +211,19 @@ class GenericDecoder:
         return out, kv_cache
 
     def _mlp(self, layer, x, lora_indices=None):
+        fc1, fc2 = layer["fc1"], layer["fc2"]
+        if (self._use_fused_mlp and self.gated_mlp
+                and self.act_name == "silu" and lora_indices is None
+                and fc1.qw is not None and fc2.qw is not None
+                and fc1.bias is None and fc2.bias is None
+                and fc1.lora_a is None
+                and _flat_tokens(x) <= 64):
+            from vllm_quick_tpu.ops.quant_matmul import (fused_mlp,
+                                                         mlp_fusable)
+            if mlp_fusable(fc1.qw, fc2.qw):
+                out = fused_mlp(x, fc1.qw, fc2.qw)
+                out = self.ctx.tp_all_reduce(out)
+                return out
         up = apply_linear(layer["fc1"], x, lora_indices)
         if self.gated_mlp:
             if self.act_name == "silu":

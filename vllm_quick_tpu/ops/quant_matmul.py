@@ -190,6 +190,158 @@ def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
     )(x, packed, scales, zeros)
 
 
+def _fused_mlp_kernel(x_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref,
+                      zu_ref, p2_ref, s2_ref, z2_ref, o_ref, y_acc, *,
+                      k1p: int, tile_f: int, real_steps: int):
+    """One grid step = one ``tile_f`` slice of the hidden dim F:
+    compute h = silu(x@Wg) * (x@Wu) for the slice, then accumulate
+    y += h @ W2[slice] — gate_up, silu and down in ONE kernel so the
+    two weight streams run back to back with no pipeline drain or
+    intermediate HBM round trip. Padded W2 K-rows carry scale 0, so
+    junk h from out-of-range tail slices contributes exactly zero."""
+    f = pl.program_id(0)
+
+    @pl.when(f == 0)
+    def _init():
+        y_acc[:] = jnp.zeros_like(y_acc)
+
+    half = SUPERBLOCK // 2
+    n_sb1 = k1p // SUPERBLOCK
+
+    def col_dot(p_ref, s_ref, z_ref):
+        acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
+        for sb in range(n_sb1):
+            p = p_ref[sb * half:(sb + 1) * half, :].astype(jnp.int32)
+            lo = (p & 0xF).astype(jnp.bfloat16)
+            hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+            xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
+            xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
+            plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+            phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
+            slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+            shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+            zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+            zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+            xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+            xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+        return acc
+
+    gate = col_dot(pg_ref, sg_ref, zg_ref)
+    up = col_dot(pu_ref, su_ref, zu_ref)
+    h = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
+
+    # Second stage: one W2 superblock (tile_f == SUPERBLOCK K-rows).
+    p2 = p2_ref[...].astype(jnp.int32)          # [tile_f//2, D]
+    lo2 = (p2 & 0xF).astype(jnp.bfloat16)
+    hi2 = ((p2 >> 4) & 0xF).astype(jnp.bfloat16)
+    hlo = h[:, :half]
+    hhi = h[:, half:]
+    plo2 = jnp.dot(hlo, lo2, preferred_element_type=jnp.float32)
+    phi2 = jnp.dot(hhi, hi2, preferred_element_type=jnp.float32)
+    # W2 scales/zeros arrive pre-reshaped [steps, 2, D] so this step's
+    # pair is one full trailing block (2-row sublane slices can't be
+    # dynamically indexed).
+    s2 = s2_ref[0].astype(jnp.float32)           # [2, D]
+    z2 = z2_ref[0].astype(jnp.float32)
+    s2lo, s2hi = s2[0:1, :], s2[1:2, :]
+    z2lo, z2hi = z2[0:1, :], z2[1:2, :]
+    hslo = jnp.sum(hlo.astype(jnp.float32), axis=1, keepdims=True)
+    hshi = jnp.sum(hhi.astype(jnp.float32), axis=1, keepdims=True)
+    y_acc[:] = (y_acc[:] + (plo2 - hslo * z2lo) * s2lo
+                + (phi2 - hshi * z2hi) * s2hi)
+
+    @pl.when(f == pl.num_programs(0) - 1)
+    def _done():
+        o_ref[:] = y_acc[:].astype(o_ref.dtype)
+
+
+def mlp_fusable(qw13: QuantizedWeight, qw2: QuantizedWeight) -> bool:
+    f = qw2.in_features
+    return (qw13.fmt == "i8pair" and qw2.fmt == "i8pair"
+            and qw13.perm is None and qw2.perm is None
+            and qw13.out_features == 2 * f and f % SUPERBLOCK == 0
+            and qw13.padded_out == 2 * f
+            and qw13.padded_in == qw13.in_features)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _fused_mlp_2d(x, qw13: QuantizedWeight, qw2: QuantizedWeight, *,
+                  out_dtype=jnp.bfloat16, interpret: bool = False):
+    mp, k1p = x.shape
+    f = qw2.in_features
+    fp2 = qw2.padded_in
+    dp = qw2.padded_out
+    tile_f = SUPERBLOCK
+    steps = fp2 // tile_f
+    gate_last = f // tile_f - 1          # clamp for tail W2 slices
+    up_base = f // tile_f
+
+    def g_idx(i):
+        return jnp.minimum(i, gate_last)
+
+    in_specs = [
+        pl.BlockSpec((mp, k1p), lambda i: (0, 0)),                  # x
+        pl.BlockSpec((k1p // 2, tile_f), lambda i: (0, g_idx(i))),  # Wg
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // 2, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),            # Wu
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((tile_f // 2, dp), lambda i: (i, 0)),          # W2
+        pl.BlockSpec((1, 2, dp), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 2, dp), lambda i: (i, 0, 0)),
+    ]
+    kernel = functools.partial(_fused_mlp_kernel, k1p=k1p,
+                               tile_f=tile_f,
+                               real_steps=f // tile_f)
+    flops = 2 * mp * (k1p * 2 * f + f * dp)
+    bytes_accessed = (k1p * f + fp2 * dp // 2
+                      + 2 * (k1p // EFF_GROUP) * 2 * f * 2
+                      + 2 * (fp2 // EFF_GROUP) * dp * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mp, dp), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mp, dp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=mp * f),
+        interpret=interpret,
+    )(x, qw13.packed, qw13.scales, qw13.zeros, qw13.packed, qw13.scales,
+      qw13.zeros, qw2.packed,
+      qw2.scales.reshape(steps, 2, dp),
+      qw2.zeros.reshape(steps, 2, dp))
+
+
+def fused_mlp(x: jax.Array, qw13: QuantizedWeight, qw2: QuantizedWeight,
+              *, out_dtype=None,
+              interpret: Optional[bool] = None) -> jax.Array:
+    """y = silu_and_mul(x @ W13) @ W2 in one Pallas call (decode
+    batches). Caller must check :func:`mlp_fusable` first."""
+    out_dtype = out_dtype or x.dtype
+    *lead, k = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+    mp = max(8, _round_up(m, 8))
+    x2 = x.reshape(m, k)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    y = _fused_mlp_2d(x2.astype(jnp.bfloat16), qw13, qw2,
+                      out_dtype=out_dtype, interpret=interpret)
+    return y[:m, :qw2.out_features].reshape(*lead, qw2.out_features)
+
+
 def quant_matmul(
     x: jax.Array,
     qw: QuantizedWeight,
