@@ -62,6 +62,16 @@ class LLMEngine:
             import jax
             jax.profiler.start_server(int(port))
             logger.info("jax.profiler server listening on port %s", port)
+        if (cache_config.cache_dtype == "fp8_e5m2"
+                and scheduler_config.max_num_seqs < 8):
+            # Measured on v5e (BREAKDOWN.md): at batch 1 the in-kernel
+            # fp8->bf16 load-convert costs more than the halved KV reads
+            # save (~12% slower); fp8 KV pays off from batch ~8.
+            logger.warning(
+                "kv_cache_dtype=fp8_e5m2 with max_num_seqs=%d: fp8 KV is "
+                "slower than bf16 below ~8 concurrent sequences; it pays "
+                "off only at larger batch sizes.",
+                scheduler_config.max_num_seqs)
         self.model_config = model_config
         self.cache_config = cache_config
         self.parallel_config = parallel_config

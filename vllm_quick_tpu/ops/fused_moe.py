@@ -110,24 +110,19 @@ def _moe_qmm_kernel(sel_ref, x_ref, g_ref, p_ref, s_ref, z_ref, o_ref,
         def _init_t():
             acc_t[:] = jnp.zeros_like(acc_t)
 
+    from vllm_quick_tpu.ops.quant_matmul import _sb_contribution
     n_sb = tile_k // SUPERBLOCK
     half = SUPERBLOCK // 2
     acc = acc_e[:]
     for sb in range(n_sb):
-        p = p_ref[0, sb * half:(sb + 1) * half, :].astype(jnp.int32)
-        lo = (p & 0xF).astype(jnp.bfloat16)
-        hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+        p = p_ref[0, sb * half:(sb + 1) * half, :]
         xlo = x_ref[0, :, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
         xhi = x_ref[0, :, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
         slo = s_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
         shi = s_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
         zlo = z_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
         zhi = z_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-        xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
-        xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+        acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
     acc_e[:] = acc
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
@@ -230,44 +225,30 @@ def _moe_ffn_kernel(sel_ref, x_ref, g_ref, pg_ref, sg_ref, zg_ref,
     half = SUPERBLOCK // 2
     n_sb1 = k1p // SUPERBLOCK
 
+    from vllm_quick_tpu.ops.quant_matmul import _sb_contribution
+
     def col_dot(p_ref, s_ref, z_ref):
         acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
         for sb in range(n_sb1):
-            p = p_ref[0, sb * half:(sb + 1) * half, :].astype(jnp.int32)
-            lo = (p & 0xF).astype(jnp.bfloat16)
-            hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+            p = p_ref[0, sb * half:(sb + 1) * half, :]
             xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
             xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-            plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-            phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
             slo = s_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
             shi = s_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
             zlo = z_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
             zhi = z_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            xslo = jnp.sum(xlo.astype(jnp.float32), axis=1,
-                           keepdims=True)
-            xshi = jnp.sum(xhi.astype(jnp.float32), axis=1,
-                           keepdims=True)
-            acc = (acc + (plo - xslo * zlo) * slo
-                   + (phi - xshi * zhi) * shi)
+            acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
         return acc
 
     gate = col_dot(pg_ref, sg_ref, zg_ref)
     up = col_dot(pu_ref, su_ref, zu_ref)
     h = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
 
-    p2 = p2_ref[0].astype(jnp.int32)
-    lo2 = (p2 & 0xF).astype(jnp.bfloat16)
-    hi2 = ((p2 >> 4) & 0xF).astype(jnp.bfloat16)
-    hlo, hhi = h[:, :half], h[:, half:]
-    plo2 = jnp.dot(hlo, lo2, preferred_element_type=jnp.float32)
-    phi2 = jnp.dot(hhi, hi2, preferred_element_type=jnp.float32)
     s2 = s2_ref[0, 0].astype(jnp.float32)
     z2 = z2_ref[0, 0].astype(jnp.float32)
-    hslo = jnp.sum(hlo.astype(jnp.float32), axis=1, keepdims=True)
-    hshi = jnp.sum(hhi.astype(jnp.float32), axis=1, keepdims=True)
-    contrib = ((plo2 - hslo * z2[0:1, :]) * s2[0:1, :]
-               + (phi2 - hshi * z2[1:2, :]) * s2[1:2, :])
+    contrib = _sb_contribution(
+        h[:, :half], h[:, half:], p2_ref[0],
+        s2[0:1, :], s2[1:2, :], z2[0:1, :], z2[1:2, :])
     coef = g_ref[0, 0, :].astype(jnp.float32)
     y_acc[:] = y_acc[:] + coef[:, None] * contrib
 

@@ -38,6 +38,30 @@ FUSED_KERNEL_MAX_TOKENS = 64
 # Packed-weight VMEM tile budget (bytes); doubled by pipeline buffering.
 _TILE_BUDGET = int(os.environ.get("VLLM_TPU_QMM_BUDGET",
                                   3 * 1024 * 1024))
+# Nibble-extraction variant: "i8" does the mask work at native int8 lane
+# width (4x the density of i32 ops) using the offset-binary identity
+# ``(p & 0xF0) ^ 0x80 == 16*hi - 128`` (linear in hi, so the 16x/-128
+# fold into the per-group scale correction); "i32" is the legacy
+# widen-shift-mask path kept for A/B.
+_DEQUANT_VARIANT = os.environ.get("VLLM_TPU_DEQUANT", "i8")
+
+
+def _sb_nibble_planes(p):
+    """int8 [half, TN] packed byte tile -> (lo_plane, hi_plane, hi_is_x16).
+
+    lo_plane holds the low-nibble weights exactly (0..15). With the i8
+    variant, hi_plane holds ``16*hi - 128`` (hi_is_x16=True) and the
+    caller must use the adjusted correction
+    ``(phi - xs*(z-8)*16) * (s/16)``; with i32 it holds hi directly.
+    """
+    if _DEQUANT_VARIANT == "i8":
+        lo = (p & 0x0F).astype(jnp.bfloat16)
+        hi = ((p & jnp.int8(-16)) ^ jnp.int8(-128)).astype(jnp.bfloat16)
+        return lo, hi, True
+    p32 = p.astype(jnp.int32)
+    lo = (p32 & 0xF).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) & 0xF).astype(jnp.bfloat16)
+    return lo, hi, False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,6 +101,25 @@ def _choose_tiles(kp: int, np_: int) -> tuple:
     return best[2], best[3]
 
 
+def _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi):
+    """f32 [M, TN] contribution of one 256-row superblock.
+
+    x slices are bf16 [M, 128]; p is the packed int8 [128, TN] tile;
+    s/z rows are f32 [1, TN]. Group-correction identity:
+    ``(dot(x, q) - sum(x) * z) * s`` — with the i8 nibble variant the hi
+    plane is ``16*hi - 128``, folded as ``(phi - xs*(z-8)*16) * (s/16)``.
+    """
+    lo, hi, hi_x16 = _sb_nibble_planes(p)
+    plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+    phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
+    xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+    xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
+    if hi_x16:
+        return ((plo - xslo * zlo) * slo
+                + (phi - xshi * (zhi - 8.0) * 16.0) * (shi * 0.0625))
+    return (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+
+
 def _decode_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
                           tile_k: int):
     k_idx = pl.program_id(1)
@@ -92,21 +135,14 @@ def _decode_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
     # Mosaic emits aligned vector loads throughout.
     acc = acc_ref[:]
     for sb in range(n_sb):
-        # int8 [128, TN]; nibble math in i32 (Mosaic has no i8 shifts).
-        p = p_ref[sb * half:(sb + 1) * half, :].astype(jnp.int32)
-        lo = (p & 0xF).astype(jnp.bfloat16)
-        hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+        p = p_ref[sb * half:(sb + 1) * half, :]
         xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
         xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
         slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
         shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
         zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
         zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-        xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
-        xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+        acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
     acc_ref[:] = acc
 
     @pl.when(k_idx == pl.num_programs(1) - 1)
@@ -211,20 +247,14 @@ def _fused_mlp_kernel(x_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref,
     def col_dot(p_ref, s_ref, z_ref):
         acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
         for sb in range(n_sb1):
-            p = p_ref[sb * half:(sb + 1) * half, :].astype(jnp.int32)
-            lo = (p & 0xF).astype(jnp.bfloat16)
-            hi = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+            p = p_ref[sb * half:(sb + 1) * half, :]
             xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
             xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-            plo = jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-            phi = jnp.dot(xhi, hi, preferred_element_type=jnp.float32)
             slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
             shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
             zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
             zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            xslo = jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
-            xshi = jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc + (plo - xslo * zlo) * slo + (phi - xshi * zhi) * shi
+            acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
         return acc
 
     gate = col_dot(pg_ref, sg_ref, zg_ref)
@@ -232,24 +262,14 @@ def _fused_mlp_kernel(x_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref,
     h = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
 
     # Second stage: one W2 superblock (tile_f == SUPERBLOCK K-rows).
-    p2 = p2_ref[...].astype(jnp.int32)          # [tile_f//2, D]
-    lo2 = (p2 & 0xF).astype(jnp.bfloat16)
-    hi2 = ((p2 >> 4) & 0xF).astype(jnp.bfloat16)
-    hlo = h[:, :half]
-    hhi = h[:, half:]
-    plo2 = jnp.dot(hlo, lo2, preferred_element_type=jnp.float32)
-    phi2 = jnp.dot(hhi, hi2, preferred_element_type=jnp.float32)
     # W2 scales/zeros arrive pre-reshaped [steps, 2, D] so this step's
     # pair is one full trailing block (2-row sublane slices can't be
     # dynamically indexed).
     s2 = s2_ref[0].astype(jnp.float32)           # [2, D]
     z2 = z2_ref[0].astype(jnp.float32)
-    s2lo, s2hi = s2[0:1, :], s2[1:2, :]
-    z2lo, z2hi = z2[0:1, :], z2[1:2, :]
-    hslo = jnp.sum(hlo.astype(jnp.float32), axis=1, keepdims=True)
-    hshi = jnp.sum(hhi.astype(jnp.float32), axis=1, keepdims=True)
-    y_acc[:] = (y_acc[:] + (plo2 - hslo * z2lo) * s2lo
-                + (phi2 - hshi * z2hi) * s2hi)
+    y_acc[:] = y_acc[:] + _sb_contribution(
+        h[:, :half], h[:, half:], p2_ref[...],
+        s2[0:1, :], s2[1:2, :], z2[0:1, :], z2[1:2, :])
 
     @pl.when(f == pl.num_programs(0) - 1)
     def _done():
