@@ -260,6 +260,40 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
     lm_ms = slope_ms(lm_chain, h0, r_lo=2, r_hi=4) / 1
     lm_bytes = _nbytes(params["lm_head"])
 
+    # 5) Residual decomposition (VERDICT r2 #6): static op counts from
+    #    the compiled step, plus the full step timed as an IN-GRAPH
+    #    repetition slope — per-iteration host dispatch cancels in the
+    #    slope, so (enqueue-loop step time - slope time) is the host
+    #    gap and the slope's excess over the component sum is genuine
+    #    on-device overhead (pallas call fixed cost + XLA glue).
+    def _step(params, input_ids, positions, kv_caches, meta,
+              prompt_lens):
+        hidden, new_caches = model.forward(params, input_ids, positions,
+                                           kv_caches, meta)
+        logits = model.compute_logits(params, hidden)
+        return logits, new_caches
+
+    import re
+    txt = jax.jit(_step).lower(params, ids, positions, caches, meta,
+                               jnp.zeros((batch,), jnp.int32)) \
+        .compile().as_text()
+    n_pallas = len(re.findall(r'custom_call_target="tpu_custom_call"',
+                              txt))
+    n_fusion = len(re.findall(r"^\s*\S+ = \S+ fusion\(", txt, re.M))
+
+    def step_chain(params, x_ids, x_pos, caches, repeat=1):
+        logits = None
+        for _ in range(repeat):
+            logits, caches = _step(params, x_ids, x_pos, caches, meta,
+                                   jnp.zeros((batch,), jnp.int32))
+            # Full-vocab argmax: a real data dependency, so no step's
+            # lm_head can be dead-code-eliminated between repeats.
+            x_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits
+
+    chain_ms = slope_ms(step_chain, params, ids, positions, caches,
+                        n=4, r_lo=1, r_hi=3)
+
     rows = [
         ("quant_gemm(x128)", gemm_ms, gemm_bytes),
         ("paged_attn(x32)", attn_ms, attn_bytes),
@@ -275,6 +309,12 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
         print(f"  {name:18s} {ms:7.2f} ms  {bw}", file=sys.stderr)
     print(f"  {'glue+dispatch':18s} {step_ms - accounted:7.2f} ms  "
           f"(residual incl. host gap)", file=sys.stderr)
+    print(f"  {'step in-graph':18s} {chain_ms:7.2f} ms  "
+          f"(on-device; host gap = {step_ms - chain_ms:+.2f} ms)",
+          file=sys.stderr)
+    print(f"  {'device overhead':18s} {chain_ms - accounted:7.2f} ms  "
+          f"over {n_pallas} pallas calls + {n_fusion} XLA fusions/step",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
