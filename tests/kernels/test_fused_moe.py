@@ -67,6 +67,56 @@ def test_build_expert_slots():
         assert total[3] == pytest.approx(0.4 if t == 0 else 0.3)
 
 
+def test_moe_quant_expert_ffn_ep_sharded():
+    """2-way expert parallelism: each rank runs the grouped kernel over
+    its E/2-expert shard of the stacks; the psum over ep must equal the
+    unsharded kernel (VERDICT r2 item 4 — the ep-sharded grid)."""
+    import dataclasses
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from vllm_quick_tpu.parallel.mesh import ParallelContext, make_mesh
+
+    rng = np.random.default_rng(7)
+    t, d, f, e, k = 3, 256, 256, 4, 2
+    x = jnp.asarray((rng.standard_normal((t, d)) * 0.5).astype(
+        np.float32)).astype(jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    qw13 = stack_quantized_weights([
+        quantize_reference(
+            rng.standard_normal((d, 2 * f)).astype(np.float32) * 0.1)
+        for _ in range(e)])
+    qw2 = stack_quantized_weights([
+        quantize_reference(
+            rng.standard_normal((f, d)).astype(np.float32) * 0.1)
+        for _ in range(e)])
+    top_w, top_i = topk_routing(logits, k)
+
+    want = moe_quant_expert_ffn(x, top_w, top_i, qw13, qw2, e,
+                                interpret=True)
+
+    mesh = make_mesh(expert_parallel_size=2)
+    ctx = ParallelContext(ep_size=2)
+
+    def fn(x, tw, ti, p13, s13, z13, p2, s2, z2):
+        qw13l = dataclasses.replace(qw13, packed=p13, scales=s13,
+                                    zeros=z13)
+        qw2l = dataclasses.replace(qw2, packed=p2, scales=s2, zeros=z2)
+        out = moe_quant_expert_ffn(x, tw, ti, qw13l, qw2l, e, ctx=ctx,
+                                   interpret=True)
+        return jax.lax.psum(out, ctx.ep_axis)
+
+    rep, ep = P(), P("ep")
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(rep, rep, rep, ep, ep, ep, ep, ep, ep),
+        out_specs=rep, check_vma=False)
+    got = sharded(x, top_w, top_i, qw13.packed, qw13.scales, qw13.zeros,
+                  qw2.packed, qw2.scales, qw2.zeros)
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want, dtype=np.float32),
+                               rtol=0.02, atol=0.02)
+
+
 @pytest.mark.parametrize("t", [1, 3, 8])
 @pytest.mark.parametrize("e,k", [(4, 2), (8, 2)])
 def test_moe_quant_expert_ffn_matches_dequant_loop(t, e, k):

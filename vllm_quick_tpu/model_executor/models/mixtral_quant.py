@@ -38,13 +38,17 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
                  dtype: str = "bfloat16") -> None:
         from vllm_quick_tpu.parallel.mesh import ParallelContext
         ctx = ctx or ParallelContext()
-        assert ctx.ep_size == 1, (
-            "expert parallelism requires the dense Mixtral path "
-            "(models/mixtral.py); quantized experts are TP-sharded only, "
-            "matching the reference's mixtral_quant scope")
         super().__init__(hf_config, quant=quant, ctx=ctx, dtype=dtype)
         self.num_experts = hf_config.num_local_experts
         self.top_k = hf_config.num_experts_per_tok
+        # EP shards the stacked expert weights' leading axis over the
+        # ``ep`` mesh axis (sharding.py routes experts_w13/w2 there);
+        # each rank computes only its local experts' partial sum.
+        # Capability the reference's mixtral_quant.py lacks (INT4
+        # Mixtral-8x7B is ~23 GB and only deploys multi-chip).
+        assert self.num_experts % ctx.ep_size == 0, (
+            f"num_experts={self.num_experts} not divisible by "
+            f"ep_size={ctx.ep_size}")
 
     def _mlp_block(self, layer, x, lora_indices=None):
         from vllm_quick_tpu.ops.fused_moe import (moe_quant_expert_ffn,
@@ -70,18 +74,25 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
         if (t <= FUSED_KERNEL_MAX_TOKENS and qw13.fmt == "i8pair"
                 and default_backend_is_tpu()):
             # Grouped Pallas kernel: streams only the batch's selected
-            # experts' weights (decode regime is HBM-bound).
+            # experts' weights (decode regime is HBM-bound). Under EP
+            # the stacks are local shards and the result is a partial
+            # sum (combined by moe_all_reduce below).
             top_w, top_i = topk_routing(router_logits, self.top_k)
             out = moe_quant_expert_ffn(xf, top_w, top_i, qw13, qw2,
-                                       self.num_experts)
+                                       self.num_experts, ctx=self.ctx)
             out = out.astype(jnp.float32)
         else:
             # Prefill: dequantize each expert once (weight bytes are
             # amortized over many tokens) and run the dense masked path.
             gate = moe_routing(router_logits, self.top_k,
                                renormalize=True)             # [T, E]
+            e_local = qw13.packed.shape[0]
+            if self.ctx.ep_size > 1:
+                off = jax.lax.axis_index(self.ctx.ep_axis) * e_local
+                gate = jax.lax.dynamic_slice_in_dim(gate, off, e_local,
+                                                    axis=1)
             out = None
-            for e in range(self.num_experts):
+            for e in range(e_local):
                 gu = quant_matmul_ref(xf, _expert_view(qw13, e))
                 g, u = jnp.split(gu, 2, axis=-1)
                 h = jax.nn.silu(g.astype(jnp.float32)).astype(
@@ -90,7 +101,7 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
                     jnp.float32)
                 y = y * gate[:, e:e + 1]
                 out = y if out is None else out + y
-        out = self.ctx.tp_all_reduce(out).astype(xf.dtype)
+        out = self.ctx.moe_all_reduce(out).astype(xf.dtype)
         return out.reshape(*lead, -1)
 
     def _build_mlp_params(self, pb, pfx: str, layer: Dict[str, Any]

@@ -22,7 +22,6 @@ tensor parallelism column/row-shards each expert's F dim over ``tp``.
 One psum over (ep, tp) combines both partial sums.
 """
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -207,127 +206,6 @@ def _moe_qmm(x: jax.Array, packed: jax.Array, scales: jax.Array,
     return out[0] if combine else out
 
 
-def _moe_ffn_kernel(sel_ref, x_ref, g_ref, pg_ref, sg_ref, zg_ref,
-                    pu_ref, su_ref, zu_ref, p2_ref, s2_ref, z2_ref,
-                    o_ref, y_acc, *, k1p: int, tile_f: int):
-    """Whole expert FFN (gate->silu->down, gate-weighted combine) in
-    ONE kernel: grid (slot, F-slice); each step computes one hidden
-    slice for one selected expert and accumulates its W2 superblock
-    into the output — the per-slot weight streams run back to back and
-    the hidden activation never leaves VMEM."""
-    s = pl.program_id(0)
-    f = pl.program_id(1)
-
-    @pl.when(jnp.logical_and(s == 0, f == 0))
-    def _init():
-        y_acc[:] = jnp.zeros_like(y_acc)
-
-    half = SUPERBLOCK // 2
-    n_sb1 = k1p // SUPERBLOCK
-
-    from vllm_quick_tpu.ops.quant_matmul import _sb_contribution
-
-    def col_dot(p_ref, s_ref, z_ref):
-        acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
-        for sb in range(n_sb1):
-            p = p_ref[0, sb * half:(sb + 1) * half, :]
-            xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
-            xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-            slo = s_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
-            shi = s_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            zlo = z_ref[0, 2 * sb:2 * sb + 1, :].astype(jnp.float32)
-            zhi = z_ref[0, 2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
-        return acc
-
-    gate = col_dot(pg_ref, sg_ref, zg_ref)
-    up = col_dot(pu_ref, su_ref, zu_ref)
-    h = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
-
-    s2 = s2_ref[0, 0].astype(jnp.float32)
-    z2 = z2_ref[0, 0].astype(jnp.float32)
-    contrib = _sb_contribution(
-        h[:, :half], h[:, half:], p2_ref[0],
-        s2[0:1, :], s2[1:2, :], z2[0:1, :], z2[1:2, :])
-    coef = g_ref[0, 0, :].astype(jnp.float32)
-    y_acc[:] = y_acc[:] + coef[:, None] * contrib
-
-    @pl.when(jnp.logical_and(s == pl.num_programs(0) - 1,
-                             f == pl.num_programs(1) - 1))
-    def _done():
-        o_ref[:] = y_acc[:].astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
-def _moe_ffn_fused(x, qw13: QuantizedWeight, qw2: QuantizedWeight,
-                   sel: jax.Array, gates: jax.Array, *,
-                   out_dtype=jnp.bfloat16, interpret: bool = False):
-    tp_, k1p = x.shape
-    s_max = sel.shape[0]
-    f = qw2.in_features
-    fp2 = qw2.padded_in
-    dp = qw2.padded_out
-    tile_f = SUPERBLOCK
-    steps = fp2 // tile_f
-    gate_last = f // tile_f - 1
-    up_base = f // tile_f
-
-    def gi(j):
-        return jnp.minimum(j, gate_last)
-
-    in_specs = [
-        pl.BlockSpec((tp_, k1p), lambda s, j, q: (0, 0)),
-        pl.BlockSpec((1, 1, tp_), lambda s, j, q: (s, 0, 0)),
-        pl.BlockSpec((1, k1p // 2, tile_f),
-                     lambda s, j, q: (q[s], 0, gi(j))),
-        pl.BlockSpec((1, k1p // EFF_GROUP, tile_f),
-                     lambda s, j, q: (q[s], 0, gi(j))),
-        pl.BlockSpec((1, k1p // EFF_GROUP, tile_f),
-                     lambda s, j, q: (q[s], 0, gi(j))),
-        pl.BlockSpec((1, k1p // 2, tile_f),
-                     lambda s, j, q: (q[s], 0, up_base + gi(j))),
-        pl.BlockSpec((1, k1p // EFF_GROUP, tile_f),
-                     lambda s, j, q: (q[s], 0, up_base + gi(j))),
-        pl.BlockSpec((1, k1p // EFF_GROUP, tile_f),
-                     lambda s, j, q: (q[s], 0, up_base + gi(j))),
-        pl.BlockSpec((1, tile_f // 2, dp), lambda s, j, q: (q[s], j, 0)),
-        pl.BlockSpec((1, 1, 2, dp), lambda s, j, q: (q[s], j, 0, 0)),
-        pl.BlockSpec((1, 1, 2, dp), lambda s, j, q: (q[s], j, 0, 0)),
-    ]
-    e = qw2.packed.shape[0]
-    kernel = functools.partial(_moe_ffn_kernel, k1p=k1p, tile_f=tile_f)
-    flops = 2 * s_max * tp_ * (k1p * 2 * f + f * dp)
-    bytes_accessed = s_max * (k1p * f + fp2 * dp // 2)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(s_max, steps),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((tp_, dp), lambda s, j, q: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((tp_, dp), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((tp_, dp), out_dtype),
-        cost_estimate=pl.CostEstimate(flops=flops,
-                                      bytes_accessed=bytes_accessed,
-                                      transcendentals=s_max * tp_ * f),
-        interpret=interpret,
-    )(sel, x, gates.reshape(s_max, 1, tp_), qw13.packed, qw13.scales,
-      qw13.zeros, qw13.packed, qw13.scales, qw13.zeros, qw2.packed,
-      qw2.scales.reshape(e, steps, 2, dp),
-      qw2.zeros.reshape(e, steps, 2, dp))
-    return out
-
-
-def _moe_ffn_fusable(qw13: QuantizedWeight,
-                     qw2: QuantizedWeight) -> bool:
-    f = qw2.in_features
-    return (qw13.fmt == "i8pair" and qw2.fmt == "i8pair"
-            and qw13.perm is None and qw2.perm is None
-            and qw13.out_features == 2 * f and f % SUPERBLOCK == 0
-            and qw13.padded_out == 2 * f
-            and qw13.padded_in == qw13.in_features)
-
 
 def moe_quant_expert_ffn(
     x: jax.Array,              # [T, D]
@@ -337,32 +215,48 @@ def moe_quant_expert_ffn(
     qw2: QuantizedWeight,      # stacked [E, ...] down (row layout)
     num_experts: int,
     *,
+    ctx: Optional[ParallelContext] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Grouped-GEMM expert FFN for quantized MoE at decode batch sizes:
     silu-gated w13 -> w2, combining with routing weights. Streams only
     the selected experts' weights (reference fused_moe.py:11-227
-    capability, TPU-native shape discipline)."""
+    capability, TPU-native shape discipline).
+
+    Expert parallelism (``ctx.ep_size > 1``): the stacked qw13/qw2 the
+    caller passes are this rank's E/ep-expert shard. Tokens routed to
+    remote experts get an out-of-range slot id, which
+    ``build_expert_slots`` drops (zero gate), so this rank computes only
+    its own experts' contribution — a PARTIAL sum the caller must
+    ``psum`` over (ep, tp). ``num_experts`` stays the global count.
+    """
     from vllm_quick_tpu.ops.quant_matmul import default_backend_is_tpu
     if interpret is None:
         interpret = not default_backend_is_tpu()
     t, d = x.shape
     dtype = x.dtype
-    sel, gates = build_expert_slots(top_w, top_i, num_experts)
+    if ctx is not None and ctx.ep_size > 1:
+        e_local = qw13.packed.shape[0]
+        off = jax.lax.axis_index(ctx.ep_axis) * e_local
+        local_i = top_i - off
+        # Remote experts -> index e_local: out of range for the local
+        # stack, so the hit-scatter (mode="drop") and one_hot gate both
+        # zero them out.
+        local_i = jnp.where((local_i >= 0) & (local_i < e_local),
+                            local_i, e_local)
+        sel, gates = build_expert_slots(top_w, local_i, e_local)
+    else:
+        sel, gates = build_expert_slots(top_w, top_i, num_experts)
     tp_ = max(8, -(-t // 8) * 8)
     xp = jnp.pad(x.astype(jnp.bfloat16),
                  ((0, tp_ - t), (0, qw13.padded_in - d)))
     gp = jnp.pad(gates, ((0, 0), (0, tp_ - t)))
 
-    # Measured SLOWER than the two-pass grouped kernels at Mixtral
-    # shapes (0.53 vs 0.36 ms/layer: the 256-wide slices starve the
-    # MXU more than the saved inter-kernel drain pays back), so the
-    # single-kernel variant is opt-in.
-    if (_moe_ffn_fusable(qw13, qw2)
-            and os.environ.get("VLLM_TPU_FUSED_MOE")):
-        y = _moe_ffn_fused(xp, qw13, qw2, sel, gp, interpret=interpret)
-        return y[:t, :qw2.out_features].astype(dtype)
-
+    # Two grouped-GEMM passes with the silu gate between them. A
+    # single-kernel gate->silu->down variant was measured SLOWER at
+    # Mixtral shapes (0.53 vs 0.36 ms/layer: its 256-wide hidden
+    # slices starve the MXU more than the saved inter-kernel drain
+    # pays back) and was removed.
     h = _moe_qmm(xp, qw13.packed, qw13.scales, qw13.zeros, sel, gp,
                  combine=False, interpret=interpret)   # [S, Tp, 2F]
     h = h[..., :qw13.out_features]

@@ -87,3 +87,21 @@ class ParallelContext:
         if self.tp_size == 1:
             return jnp.int32(0)
         return jax.lax.axis_index(self.tp_axis)
+
+    def moe_all_reduce(self, x: jax.Array) -> jax.Array:
+        """Sum-reduce MoE partials across (ep, tp): ep ranks hold
+        disjoint experts and tp ranks hold row-shards of each expert's
+        down projection, so one psum over both axes combines them."""
+        axes = []
+        if self.ep_size > 1:
+            axes.append(self.ep_axis)
+        if self.tp_size > 1:
+            axes.append(self.tp_axis)
+        if not axes:
+            return x
+        return jax.lax.psum(x, tuple(axes))
+
+    def ep_rank(self) -> jax.Array:
+        if self.ep_size == 1:
+            return jnp.int32(0)
+        return jax.lax.axis_index(self.ep_axis)

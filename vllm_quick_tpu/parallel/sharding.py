@@ -32,15 +32,17 @@ from vllm_quick_tpu.parallel.mesh import EP_AXIS, TP_AXIS
 # PartitionSpec derivation
 # ---------------------------------------------------------------------------
 
-def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str
-                  ) -> QuantizedWeight:
+def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str,
+                  lead_axis: Optional[str] = None) -> QuantizedWeight:
     """Spec tree for a packed INT4 weight. All three arrays share the
     [K-like, N] layout, so col-parallel shards axis 1 and row-parallel
     shards axis 0 (each rank's K-shard was packed independently, so the
     global packed array is a rank-major concat along axis 0). Stacked
-    expert weights [E, K-like, N] keep the expert axis unsharded here
-    (EP shards it at the model level)."""
-    lead = (None,) * (getattr(qw.packed, "ndim", 2) - 2)
+    expert weights [E, K-like, N] shard the expert axis over
+    ``lead_axis`` (the ep mesh axis) when given, else replicate it."""
+    n_lead = getattr(qw.packed, "ndim", 2) - 2
+    lead = ((lead_axis,) + (None,) * (n_lead - 1) if n_lead and lead_axis
+            else (None,) * n_lead)
     if shard == "col":
         arr = P(*lead, None, tp_axis)
     elif shard == "row":
@@ -59,7 +61,8 @@ def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str
                                perm=perm, lut=lut)
 
 
-def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
+def _linear_pspecs(lw: LinearWeights, tp_axis: str,
+                   lead_axis: Optional[str] = None) -> LinearWeights:
     if lw.shard == "col":
         w = P(None, tp_axis)
         bias = P(tp_axis)
@@ -76,7 +79,7 @@ def _linear_pspecs(lw: LinearWeights, tp_axis: str) -> LinearWeights:
         lw,
         w=None if lw.w is None else w,
         qw=None if lw.qw is None else _quant_pspecs(lw.qw, lw.shard,
-                                                    tp_axis),
+                                                    tp_axis, lead_axis),
         bias=None if lw.bias is None else bias,
         lora_a=None if lw.lora_a is None else la,
         lora_b=None if lw.lora_b is None else lb,
@@ -104,7 +107,11 @@ def param_pspecs(params: Any, tp_axis: str = TP_AXIS) -> Any:
         if node is None:
             return None
         if isinstance(node, LinearWeights):
-            return _linear_pspecs(node, tp_axis)
+            # Stacked quantized expert weights additionally shard their
+            # leading expert axis over ep (mixtral_quant EP).
+            lead = EP_AXIS if name in ("experts_w13",
+                                       "experts_w2") else None
+            return _linear_pspecs(node, tp_axis, lead_axis=lead)
         if isinstance(node, QuantizedWeight):
             # bare quantized tensor (e.g. MoE expert stack): caller
             # should wrap in LinearWeights; default to replicated.
