@@ -182,3 +182,44 @@ def test_fused_mlp_matches_two_kernel_path(t, d, f):
     want = np.asarray(qf.quant_matmul_ref(h, qw2), np.float32)
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 2e-2
+
+
+@pytest.mark.parametrize("t", [1, 5])
+@pytest.mark.parametrize("d,f", [(512, 768)])
+def test_fused_mlp_norm_matches_composed_path(t, d, f):
+    """The norm-prologue variant: (y, r) must equal residual-add +
+    rms_norm + the fused MLP chain (interpret mode on CPU)."""
+    import jax
+    from vllm_quick_tpu.ops.quant_matmul import (fused_mlp_norm,
+                                                 mlp_fusable)
+
+    rng = np.random.default_rng(3 * d + f + t)
+    eps = 1e-6
+    wg = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    qw13 = qf.quantize_reference(np.concatenate([wg, wu], axis=1))
+    qw2 = qf.quantize_reference(w2)
+    assert mlp_fusable(qw13, qw2)
+
+    h_in = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    wn = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)), jnp.bfloat16)
+    y, r = fused_mlp_norm(h_in, res, wn, qw13, qw2, eps=eps,
+                          interpret=True)
+
+    r_want = (h_in.astype(jnp.float32) + res.astype(jnp.float32))
+    var = jnp.mean(r_want * r_want, axis=-1, keepdims=True)
+    xn = (r_want * jax.lax.rsqrt(var + eps)
+          * wn.astype(jnp.float32)).astype(jnp.bfloat16)
+    gu = qf.quant_matmul_ref(xn, qw13)
+    g, u = jnp.split(gu, 2, axis=-1)
+    hh = (jax.nn.silu(g.astype(jnp.float32))
+          * u.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = np.asarray(qf.quant_matmul_ref(hh, qw2), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 2e-2
+    np.testing.assert_allclose(np.asarray(r, np.float32),
+                               np.asarray(r_want.astype(jnp.bfloat16),
+                                          np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -97,6 +97,11 @@ class LlamaForCausalLM:
             x, cache = self._attention_block(layer, x, positions,
                                              kv_caches[i], meta)
             new_caches.append(cache)
+            fused = self._mlp_block_norm_fused(layer, x, residual,
+                                               meta.lora_indices)
+            if fused is not None:
+                h, residual = fused
+                continue
             x, residual = fused_add_rms_norm(
                 x, residual, layer["post_norm"], self.rms_eps)
             x = self._mlp_block(layer, x, meta.lora_indices)
@@ -122,6 +127,33 @@ class LlamaForCausalLM:
         out = apply_linear(layer["o"], out, li)
         out = self.ctx.tp_all_reduce(out)
         return out, kv_cache
+
+    def _mlp_block_norm_fused(self, layer, x, residual, lora_indices):
+        """Post-attention residual update + norm + MLP in one Pallas
+        call (decode). Returns (h, new_residual) or None if the fused
+        path doesn't apply (prefill token counts, LoRA, non-i8pair,
+        non-TPU)."""
+        gu, dn = layer.get("gate_up"), layer.get("down")
+        if not (self._use_fused_mlp and lora_indices is None
+                and gu is not None and dn is not None
+                and gu.qw is not None and dn.qw is not None
+                and gu.bias is None and dn.bias is None
+                and gu.lora_a is None
+                and not os.environ.get("VLLM_TPU_NO_FUSED_MLP_NORM")):
+            return None
+        from vllm_quick_tpu.ops.quant_matmul import (
+            FUSED_KERNEL_MAX_TOKENS, default_backend_is_tpu,
+            fused_mlp_norm, mlp_fusable)
+        t = 1
+        for d in x.shape[:-1]:
+            t *= d
+        if not (t <= FUSED_KERNEL_MAX_TOKENS
+                and mlp_fusable(gu.qw, dn.qw)
+                and default_backend_is_tpu()):
+            return None
+        y, r = fused_mlp_norm(x, residual, layer["post_norm"], gu.qw,
+                              dn.qw, eps=self.rms_eps)
+        return self.ctx.tp_all_reduce(y), r
 
     def _mlp_block(self, layer, x, lora_indices=None):
         gu, dn = layer["gate_up"], layer["down"]

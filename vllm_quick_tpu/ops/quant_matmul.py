@@ -226,30 +226,49 @@ def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
     )(x, packed, scales, zeros)
 
 
-def _fused_mlp_kernel(x_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref,
-                      zu_ref, p2_ref, s2_ref, z2_ref, o_ref, y_acc, *,
-                      k1p: int, tile_f: int, real_steps: int):
+def _fused_mlp_kernel(*refs, k1p: int, tile_f: int, real_steps: int,
+                      eps: float = 1e-6, with_norm: bool = False):
     """One grid step = one ``tile_f`` slice of the hidden dim F:
     compute h = silu(x@Wg) * (x@Wu) for the slice, then accumulate
     y += h @ W2[slice] — gate_up, silu and down in ONE kernel so the
     two weight streams run back to back with no pipeline drain or
     intermediate HBM round trip. Padded W2 K-rows carry scale 0, so
-    junk h from out-of-range tail slices contributes exactly zero."""
+    junk h from out-of-range tail slices contributes exactly zero.
+
+    with_norm=True additionally runs the pre-MLP residual update in a
+    step-0 prologue: r = h_in + res; x = rms_norm(r) * w; r is emitted
+    as a second output — the fused_add_rms_norm that precedes every MLP
+    (layernorm_kernels.cu:40 analogue) costs zero extra XLA ops."""
+    if with_norm:
+        (h_ref, res_ref, wn_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref,
+         zu_ref, p2_ref, s2_ref, z2_ref, o_ref, r_ref, y_acc,
+         xn_ref) = refs
+    else:
+        (xn_ref, pg_ref, sg_ref, zg_ref, pu_ref, su_ref, zu_ref, p2_ref,
+         s2_ref, z2_ref, o_ref, y_acc) = refs
     f = pl.program_id(0)
 
     @pl.when(f == 0)
     def _init():
         y_acc[:] = jnp.zeros_like(y_acc)
+        if with_norm:
+            r = (h_ref[:].astype(jnp.float32)
+                 + res_ref[:].astype(jnp.float32))
+            r_ref[:] = r.astype(r_ref.dtype)
+            var = jnp.mean(r * r, axis=1, keepdims=True)
+            xn = (r * jax.lax.rsqrt(var + eps)
+                  * wn_ref[:].astype(jnp.float32))
+            xn_ref[:] = xn.astype(jnp.bfloat16)
 
     half = SUPERBLOCK // 2
     n_sb1 = k1p // SUPERBLOCK
 
     def col_dot(p_ref, s_ref, z_ref):
-        acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
+        acc = jnp.zeros((xn_ref.shape[0], tile_f), jnp.float32)
         for sb in range(n_sb1):
             p = p_ref[sb * half:(sb + 1) * half, :]
-            xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
-            xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
+            xlo = xn_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
+            xhi = xn_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
             slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
             shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
             zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
@@ -339,6 +358,101 @@ def _fused_mlp_2d(x, qw13: QuantizedWeight, qw2: QuantizedWeight, *,
       qw13.zeros, qw2.packed,
       qw2.scales.reshape(steps, 2, dp),
       qw2.zeros.reshape(steps, 2, dp))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
+                                             "interpret"))
+def _fused_mlp_norm_2d(h, res, wn, qw13: QuantizedWeight,
+                       qw2: QuantizedWeight, *, eps: float,
+                       out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Like _fused_mlp_2d but with the residual-add + RMSNorm prologue
+    fused in; returns (y [mp, dp], r = h + res [mp, k1p])."""
+    mp, k1p = h.shape
+    f = qw2.in_features
+    fp2 = qw2.padded_in
+    dp = qw2.padded_out
+    tile_f = SUPERBLOCK
+    steps = fp2 // tile_f
+    gate_last = f // tile_f - 1
+    up_base = f // tile_f
+
+    def g_idx(i):
+        return jnp.minimum(i, gate_last)
+
+    whole = pl.BlockSpec((mp, k1p), lambda i: (0, 0))
+    in_specs = [
+        whole,                                                      # h
+        whole,                                                      # res
+        pl.BlockSpec((1, k1p), lambda i: (0, 0)),                   # wn
+        pl.BlockSpec((k1p // 2, tile_f), lambda i: (0, g_idx(i))),  # Wg
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // 2, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),            # Wu
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((tile_f // 2, dp), lambda i: (i, 0)),          # W2
+        pl.BlockSpec((1, 2, dp), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 2, dp), lambda i: (i, 0, 0)),
+    ]
+    kernel = functools.partial(_fused_mlp_kernel, k1p=k1p,
+                               tile_f=tile_f, real_steps=f // tile_f,
+                               eps=eps, with_norm=True)
+    flops = 2 * mp * (k1p * 2 * f + f * dp)
+    bytes_accessed = (k1p * f + fp2 * dp // 2
+                      + 2 * (k1p // EFF_GROUP) * 2 * f * 2
+                      + 2 * (fp2 // EFF_GROUP) * dp * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((mp, dp), lambda i: (0, 0)),
+                   pl.BlockSpec((mp, k1p), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, dp), out_dtype),
+                   jax.ShapeDtypeStruct((mp, k1p), out_dtype)),
+        scratch_shapes=[pltpu.VMEM((mp, dp), jnp.float32),
+                        pltpu.VMEM((mp, k1p), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=mp * f),
+        interpret=interpret,
+    )(h, res, wn, qw13.packed, qw13.scales, qw13.zeros, qw13.packed,
+      qw13.scales, qw13.zeros, qw2.packed,
+      qw2.scales.reshape(steps, 2, dp),
+      qw2.zeros.reshape(steps, 2, dp))
+
+
+def fused_mlp_norm(h: jax.Array, res: jax.Array, w_norm: jax.Array,
+                   qw13: QuantizedWeight, qw2: QuantizedWeight, *,
+                   eps: float = 1e-6, out_dtype=None,
+                   interpret: Optional[bool] = None):
+    """(y, r) = (silu_and_mul(rms_norm(h+res, w) @ W13) @ W2, h+res) in
+    one Pallas call — the post-attention fused_add_rms_norm plus the
+    whole MLP (decode batches). Caller checks :func:`mlp_fusable`."""
+    out_dtype = out_dtype or h.dtype
+    *lead, k = h.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+    mp = max(8, _round_up(m, 8))
+    h2 = h.reshape(m, k)
+    r2 = res.reshape(m, k)
+    if mp != m:
+        h2 = jnp.pad(h2, ((0, mp - m), (0, 0)))
+        r2 = jnp.pad(r2, ((0, mp - m), (0, 0)))
+    y, r = _fused_mlp_norm_2d(h2.astype(jnp.bfloat16),
+                              r2.astype(jnp.bfloat16),
+                              w_norm.astype(jnp.bfloat16).reshape(1, k),
+                              qw13, qw2, eps=float(eps),
+                              out_dtype=out_dtype, interpret=interpret)
+    return (y[:m, :qw2.out_features].reshape(*lead, qw2.out_features),
+            r[:m].reshape(*lead, k))
 
 
 def fused_mlp(x: jax.Array, qw13: QuantizedWeight, qw2: QuantizedWeight,
