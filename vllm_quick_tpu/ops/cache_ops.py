@@ -50,14 +50,15 @@ def reshape_and_cache(
     # [1, 1, H, 1, D] are rectangular, so XLA updates strictly in place.
     # Pad tokens carry slot 0 and land harmlessly in the null block.
     dtype = kv_cache.dtype
-    k6 = key.astype(dtype)[:, None, None, :, None, :]    # [T,1,1,H,1,D]
-    v6 = value.astype(dtype)[:, None, None, :, None, :]
+    # One [1, 2, H, 1, D] dus per token writes K and V together — the
+    # fused cache layout puts them adjacent on axis 1, so pre-stacking
+    # halves the dus count (~5.5 us fixed cost each).
+    kv6 = jnp.stack([key.astype(dtype), value.astype(dtype)],
+                    axis=1)[:, None, :, :, None, :]      # [T,1,2,H,1,D]
 
     def write(cache, i):
-        cache = jax.lax.dynamic_update_slice(
-            cache, k6[i], (blk[i], 0, 0, off[i], 0))
         return jax.lax.dynamic_update_slice(
-            cache, v6[i], (blk[i], 1, 0, off[i], 0))
+            cache, kv6[i], (blk[i], 0, 0, off[i], 0))
 
     if t <= 64:
         # Decode-sized writes: unrolled dus chain (no loop overhead).
@@ -71,8 +72,7 @@ def reshape_and_cache(
     if tp != t:
         # Repeat the last token's write (idempotent) to fill the chunk.
         pad = tp - t
-        k6 = jnp.concatenate([k6, jnp.repeat(k6[-1:], pad, 0)])
-        v6 = jnp.concatenate([v6, jnp.repeat(v6[-1:], pad, 0)])
+        kv6 = jnp.concatenate([kv6, jnp.repeat(kv6[-1:], pad, 0)])
         blk = jnp.concatenate([blk, jnp.repeat(blk[-1:], pad)])
         off = jnp.concatenate([off, jnp.repeat(off[-1:], pad)])
 
