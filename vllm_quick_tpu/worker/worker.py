@@ -156,13 +156,30 @@ class Worker:
         """Driver-side step: one broadcast carries the cache directives
         AND the prepared batch inputs; every host then applies the same
         moves and runs the same jitted step."""
-        from vllm_quick_tpu.parallel.multihost import broadcast_payload
+        from vllm_quick_tpu.parallel.multihost import (broadcast_payload,
+                                                       is_multihost)
+        metas = seq_group_metadata_list
+        if not is_multihost():
+            # Single-host fast path: no broadcast, and the runner's
+            # fused step+sampler dispatch (one device interaction per
+            # step instead of two — each dispatch is a full host round
+            # trip on remote-attached chips).
+            self._apply_cache_directives({
+                "swap_in": blocks_to_swap_in,
+                "swap_out": blocks_to_swap_out,
+                "copy": blocks_to_copy,
+            })
+            if not metas:
+                return None
+            out, self.cache_engine.device_cache = (
+                self.model_runner.execute_model(
+                    metas, self.cache_engine.device_cache))
+            return out
         payload: Dict = {
             "swap_in": blocks_to_swap_in,
             "swap_out": blocks_to_swap_out,
             "copy": blocks_to_copy,
         }
-        metas = seq_group_metadata_list
         if metas:
             payload["step"] = self.model_runner.prepare_step_inputs(metas)
         broadcast_payload(payload)
