@@ -295,6 +295,7 @@ class SchedulerConfig:
         max_paddings: int = 256,
         speculative_model: Optional[str] = None,
         num_speculative_tokens: int = 4,
+        num_decode_steps: int = 1,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -309,6 +310,13 @@ class SchedulerConfig:
         # distribution. The scheduler reserves the lookahead KV slots.
         self.speculative_model = speculative_model
         self.num_speculative_tokens = num_speculative_tokens
+        # Multi-step decode: run num_decode_steps decode iterations
+        # (step + in-graph sampling) in ONE device dispatch, emitting
+        # that many tokens per sequence per engine step. Cuts the
+        # per-step host round-trip cost by the same factor — decisive
+        # on remote-attached accelerators. The scheduler reserves the
+        # extra KV slots exactly like speculative lookahead.
+        self.num_decode_steps = num_decode_steps
         self._verify_args()
 
     def _verify_args(self) -> None:
@@ -323,6 +331,13 @@ class SchedulerConfig:
             raise ValueError(
                 f"max_num_batched_tokens ({self.max_num_batched_tokens}) "
                 f"must be >= max_num_seqs ({self.max_num_seqs}).")
+        if self.num_decode_steps < 1:
+            raise ValueError("num_decode_steps must be >= 1, got "
+                             f"{self.num_decode_steps}")
+        if self.num_decode_steps > 1 and self.speculative_model:
+            raise ValueError(
+                "multi-step decode (num_decode_steps > 1) and "
+                "speculative decoding are mutually exclusive")
 
 
 class DeviceConfig:

@@ -153,11 +153,15 @@ class Scheduler:
         self.swapped: Deque[SequenceGroup] = deque()
 
         # Speculative decoding reserves k extra KV slots per decode
-        # step so the draft+score pass never outruns the block tables.
-        self.lookahead_slots = (
-            scheduler_config.num_speculative_tokens
-            if getattr(scheduler_config, "speculative_model", None)
-            else 0)
+        # step so the draft+score pass never outruns the block tables;
+        # multi-step decode reserves k-1 the same way (each engine step
+        # writes up to num_decode_steps tokens of KV before the host
+        # sees any of them).
+        if getattr(scheduler_config, "speculative_model", None):
+            self.lookahead_slots = scheduler_config.num_speculative_tokens
+        else:
+            self.lookahead_slots = (
+                getattr(scheduler_config, "num_decode_steps", 1) - 1)
 
     @property
     def lora_enabled(self) -> bool:

@@ -40,6 +40,7 @@ class EngineArgs:
     max_paddings: int = 256
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
+    num_decode_steps: int = 1
     disable_log_stats: bool = False
     revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
@@ -133,6 +134,7 @@ class EngineArgs:
             max_paddings=self.max_paddings,
             speculative_model=self.speculative_model,
             num_speculative_tokens=self.num_speculative_tokens,
+            num_decode_steps=self.num_decode_steps,
         )
         device_config = DeviceConfig(self.device)
         lora_config = LoRAConfig(

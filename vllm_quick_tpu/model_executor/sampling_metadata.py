@@ -73,8 +73,13 @@ def build_sampling_tensors(
     params: List[SamplingParams],
     vocab_size: int,
     step_seed: int,
+    reserve_out: int = 0,
 ) -> Tuple[SamplingTensors, SamplingFlags, int]:
-    """Pack one row per sampling token. Returns (tensors, flags, n_real)."""
+    """Pack one row per sampling token. Returns (tensors, flags, n_real).
+
+    ``reserve_out`` widens the output-token matrix by that many spare
+    columns so multi-step decode can append its in-graph samples for
+    exact penalty accounting across the chained steps."""
     n = len(seq_data)
     sp = pad_to_bucket(max(n, 1), _SIZE_BUCKETS)
 
@@ -130,7 +135,7 @@ def build_sampling_tensors(
 
     if flags.do_penalties:
         lp = pad_to_bucket(max_prompt, _LEN_BUCKETS)
-        lo = pad_to_bucket(max_out, _LEN_BUCKETS)
+        lo = pad_to_bucket(max_out + reserve_out, _LEN_BUCKETS)
     else:
         lp = lo = 1
     prompt_tokens = np.full((sp, lp), -1, np.int32)

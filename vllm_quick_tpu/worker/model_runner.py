@@ -63,6 +63,7 @@ class ModelRunner:
         self.sampler: Optional[Sampler] = None
         self._jit_step = None
         self._echo_steps: Dict[int, Any] = {}
+        self._multi_steps: Dict[int, Any] = {}
         self._rng_counter = 0
         self.lora_manager = None
         self._lora_mapping: Dict[int, int] = {}
@@ -86,6 +87,8 @@ class ModelRunner:
                     hidden, idx[:, None, None], axis=1)[:, 0]
             logits = model.compute_logits(params, hidden)
             return logits, new_caches
+
+        self._raw_step = _step
 
         if self.lora_config is not None:
             if not hasattr(self.model, "lora_target_map"):
@@ -412,6 +415,8 @@ class ModelRunner:
         which wrap run_prepared with the per-step payload broadcast."""
         if not metas:
             return None, kv_caches
+        if self.multi_step_eligible(metas):
+            return self.execute_multi_step(metas, kv_caches)
         payload = self.prepare_step_inputs(metas)
 
         # Fast path: step and sampler fused into ONE jit dispatch.
@@ -444,6 +449,140 @@ class ModelRunner:
             payload, kv_caches)
         sampler_output = self._sample(metas, logits, echo_extras)
         return sampler_output, kv_caches
+
+    # -- multi-step decode ---------------------------------------------------
+
+    def multi_step_eligible(
+            self, metas: List[SequenceGroupMetadata]) -> bool:
+        """Static gate for the K-steps-in-one-dispatch decode path:
+        plain decode batches of single-sequence groups (the chained
+        output protocol appends sequential tokens to ONE candidate),
+        best-of-1, no beam/logits-processors, no sliding window (its
+        truncated block tables make in-graph slot math ambiguous)."""
+        k = getattr(self.scheduler_config, "num_decode_steps", 1)
+        return (k > 1 and self._fused_step is not None and bool(metas)
+                and not metas[0].is_prompt
+                and self.lora_manager is None
+                and self.model.sliding_window is None
+                and all(len(m.seq_data) == 1
+                        and m.sampling_params.best_of == 1
+                        and not m.sampling_params.use_beam_search
+                        and not m.sampling_params.logits_processors
+                        for m in metas))
+
+    def _get_multi_step(self, k: int):
+        """K chained (step -> in-graph sample -> feed back) iterations
+        under one jit: one dispatch and one host fetch emit K tokens
+        per sequence, dividing the per-step host round-trip cost by K.
+        The reference pays that cost every token (its CUDA-graph replay
+        still syncs on the sampler each step, vllm/worker/model_runner.py
+        :545-575); beyond-parity feature."""
+        fn = self._multi_steps.get(k)
+        if fn is not None:
+            return fn
+        import dataclasses as _dc
+
+        from vllm_quick_tpu.model_executor.layers.sampler import (
+            SamplingFlags, sample_logits)
+        step = self._raw_step
+        bs = self.block_size
+
+        def _multi(params, ids, positions, kv_caches, block_tables,
+                   context_lens, lora_indices, out_base, tensors,
+                   flags_key):
+            flags = SamplingFlags(*flags_key)
+            b = ids.shape[0]
+            rows = jnp.arange(b)
+            sp = tensors.temperatures.shape[0]
+            zeros = jnp.zeros((b,), jnp.int32)
+
+            def body(carry, i):
+                ids, pos, ctx, caches, out_tok = carry
+                block = block_tables[rows, pos // bs]
+                meta = InputMetadata(
+                    is_prompt=False,
+                    slot_mapping=block * bs + pos % bs,
+                    context_lens=ctx, block_tables=block_tables,
+                    lora_indices=lora_indices)
+                logits, caches = step(params, ids, pos, caches, meta,
+                                      zeros)
+                # Per-iteration RNG: a golden-ratio xor of the per-row
+                # seeds (the host varies them per dispatch; here the
+                # dispatch covers K steps).
+                t = _dc.replace(
+                    tensors,
+                    seeds=tensors.seeds
+                    ^ (jnp.uint32(0x9E3779B9) * (i + 1).astype(jnp.uint32)),
+                    output_tokens=out_tok)
+                chosen, chosen_lp, top_lp, top_ids = sample_logits(
+                    logits, t, flags)
+                tok = chosen[:, 0]
+                if flags.do_penalties:
+                    # Record the new token so later in-chain steps see
+                    # it in their penalty counts (exact semantics).
+                    col = jnp.clip(out_base + i, 0,
+                                   out_tok.shape[1] - 1)
+                    out_tok = out_tok.at[jnp.arange(sp), col].set(
+                        tok.astype(out_tok.dtype))
+                nid = (tok[:b] if sp >= b
+                       else jnp.pad(tok, (0, b - sp)))
+                return ((nid.astype(ids.dtype), pos + 1, ctx + 1,
+                         caches, out_tok),
+                        (chosen, chosen_lp, top_lp, top_ids))
+
+            carry, outs = jax.lax.scan(
+                body,
+                (ids, positions, context_lens, kv_caches,
+                 tensors.output_tokens),
+                jnp.arange(k))
+            return outs, carry[3]
+
+        fn = jax.jit(_multi, donate_argnums=(3,),
+                     static_argnames=("flags_key",))
+        self._multi_steps[k] = fn
+        return fn
+
+    def execute_multi_step(
+        self,
+        metas: List[SequenceGroupMetadata],
+        kv_caches: List[jax.Array],
+    ) -> Tuple[SamplerOutput, List[jax.Array]]:
+        """Emit num_decode_steps tokens per sequence in one dispatch;
+        caller checked :meth:`multi_step_eligible`. Returns chained
+        SequenceGroupOutputs (the engine appends in order and truncates
+        at stop conditions — over-generated KV lives in blocks the
+        lookahead reservation already owns)."""
+        k = self.scheduler_config.num_decode_steps
+        ids, pos, meta, _ = self._prepare_decode(metas)
+        rows = self._sample_rows(metas)
+        seq_data, params, row_seq_ids, _ = rows
+        self._rng_counter += 1
+        tensors, flags, _ = build_sampling_tensors(
+            seq_data, params, self.model_config.get_vocab_size(),
+            step_seed=self._rng_counter, reserve_out=k)
+        sp = tensors.temperatures.shape[0]
+        out_base = np.zeros(sp, np.int32)
+        out_base[:len(seq_data)] = [len(d.output_token_ids)
+                                    for d in seq_data]
+        fn = self._get_multi_step(k)
+        outs, kv_caches = fn(
+            self.params, ids, pos, kv_caches, meta.block_tables,
+            meta.context_lens, meta.lora_indices, out_base, tensors,
+            flags_key=flags.key())
+        chosen, chosen_lp, top_lp, top_ids = jax.device_get(outs)
+        results: SamplerOutput = []
+        for r, m in enumerate(metas):
+            sp_params = m.sampling_params
+            samples = []
+            for i in range(k):
+                token = int(chosen[i, r, 0])
+                lp = self._logprobs_dict(token, float(chosen_lp[i, r, 0]),
+                                         sp_params.logprobs, top_lp[i, r],
+                                         top_ids[i, r])
+                samples.append(SequenceOutput(row_seq_ids[r], token, lp))
+            results.append(SequenceGroupOutput(samples, None,
+                                               chained=True))
+        return results, kv_caches
 
     def _sample_rows(self, metas: List[SequenceGroupMetadata]):
         """One sampling row per group at prefill / per seq at decode —
