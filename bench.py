@@ -77,7 +77,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     ctx_len = int(os.environ.get("BENCH_CTX", "512"))
     block_size = int(os.environ.get("BENCH_BLOCK", "16"))
-    blocks_per_seq = -(-ctx_len // block_size)
+    # Multi-step mode advances positions in-graph; cover the overhang
+    # so block-table reads stay in bounds (the engine's lookahead
+    # reservation plays this role in serving).
+    _ksteps = int(os.environ.get("BENCH_DECODE_STEPS", "1"))
+    blocks_per_seq = -(-(ctx_len + _ksteps) // block_size)
     num_blocks = 1 + batch * blocks_per_seq
 
     kv_dtype = {"bfloat16": jnp.bfloat16,
@@ -108,32 +112,81 @@ def main():
         logits = model.compute_logits(params, hidden)
         return logits, new_caches
 
+    # BENCH_DECODE_STEPS=K measures the engine's multi-step decode
+    # program (--num-decode-steps): K chained step+greedy-sample
+    # iterations per dispatch, slot mapping recomputed in-graph —
+    # one host round trip per K tokens.
+    ksteps = int(os.environ.get("BENCH_DECODE_STEPS", "1"))
+    if ksteps > 1:
+        bt_dev = jnp.asarray(bt)
+        rows_i = jnp.arange(batch)
+
+        def _multi(params, input_ids, positions, kv_caches, ctx0):
+            def body(carry, _):
+                tok, p, ctx, caches = carry
+                blocks = bt_dev[rows_i, p // block_size]
+                m = InputMetadata(
+                    is_prompt=False,
+                    slot_mapping=blocks * block_size + p % block_size,
+                    context_lens=ctx, block_tables=bt_dev)
+                logits, caches = _step(params, tok, p, caches, m, None)
+                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                return (nxt, p + 1, ctx + 1, caches), nxt
+
+            carry, toks = jax.lax.scan(
+                body, (input_ids, positions, ctx0, kv_caches),
+                None, length=ksteps)
+            return toks, carry[3]
+
+        multi = jax.jit(_multi, donate_argnums=(3,))
+
     step = jax.jit(_step, donate_argnums=(3,))
 
     # Warm up / compile. NOTE: on tunneled backends block_until_ready
     # can return before execution finishes — a host fetch (np.asarray)
     # is the only true drain, so the loop is timed enqueue-to-fetch and
     # the standalone fetch round-trip is subtracted.
-    logits, caches = step(params, ids, positions, caches, meta, plens)
-    fetched = np.asarray(logits)
-    t0 = time.perf_counter()
-    fetched = np.asarray(logits)
-    fetch_rtt = time.perf_counter() - t0
-
     iters = int(os.environ.get("BENCH_ITERS", "32"))
-    # Best of 3 trials: the tunnel occasionally injects multi-ms stalls
-    # into a whole enqueue window; the minimum estimates the chip.
-    dt = float("inf")
-    for _ in range(3):
+    if ksteps > 1:
+        ctx0 = jnp.full((batch,), ctx_len, jnp.int32)
+        toks, caches = multi(params, ids, positions, caches, ctx0)
+        fetched = np.asarray(toks)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            logits, caches = step(params, ids, positions, caches, meta,
-                                  plens)
+        fetched = np.asarray(toks)
+        fetch_rtt = time.perf_counter() - t0
+        dt = float("inf")
+        n_disp = max(1, iters // ksteps)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_disp):
+                toks, caches = multi(params, ids, positions, caches,
+                                     ctx0)
+            fetched = np.asarray(toks)
+            dt = min(dt, time.perf_counter() - t0 - fetch_rtt)
+        tok_s = n_disp * ksteps * batch / dt
+        step_ms = dt / (n_disp * ksteps) * 1e3
+    else:
+        logits, caches = step(params, ids, positions, caches, meta,
+                              plens)
         fetched = np.asarray(logits)
-        dt = min(dt, time.perf_counter() - t0 - fetch_rtt)
+        t0 = time.perf_counter()
+        fetched = np.asarray(logits)
+        fetch_rtt = time.perf_counter() - t0
 
-    tok_s = iters * batch / dt
-    step_ms = dt / iters * 1e3
+        # Best of 3 trials: the tunnel occasionally injects multi-ms
+        # stalls into a whole enqueue window; the minimum estimates the
+        # chip.
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                logits, caches = step(params, ids, positions, caches,
+                                      meta, plens)
+            fetched = np.asarray(logits)
+            dt = min(dt, time.perf_counter() - t0 - fetch_rtt)
+
+        tok_s = iters * batch / dt
+        step_ms = dt / iters * 1e3
 
     if os.environ.get("BENCH_BREAKDOWN"):
         _breakdown(model, params, caches, meta, ids, positions, batch,
