@@ -36,6 +36,9 @@ class BenchmarkMetrics:
     latencies: List[float] = field(default_factory=list)
 
 
+_errors: List[str] = []
+
+
 async def send_request(session, url, model, prompt, output_len, metrics):
     payload = {
         "model": model,
@@ -49,6 +52,10 @@ async def send_request(session, url, model, prompt, output_len, metrics):
     first_token_time = None
     n_chunks = 0
     async with session.post(url, json=payload) as resp:
+        if resp.status != 200:
+            _errors.append(f"HTTP {resp.status}: "
+                           f"{(await resp.text())[:200]}")
+            return
         async for line in resp.content:
             line = line.decode().strip()
             if not line.startswith("data: ") or line == "data: [DONE]":
@@ -91,8 +98,12 @@ async def run(args):
     elapsed = time.perf_counter() - start
 
     if not metrics.completed:
+        detail = f" last error: {_errors[-1]}" if _errors else ""
         raise SystemExit("no request completed — is the OpenAI server "
-                         f"(/v1/completions) running on {url}?")
+                         f"(/v1/completions) running on {url}?{detail}")
+    if _errors:
+        print(f"warning: {len(_errors)} request(s) failed; last: "
+              f"{_errors[-1]}", file=sys.stderr)
     print(json.dumps({
         "completed": metrics.completed,
         "duration_s": round(elapsed, 2),
