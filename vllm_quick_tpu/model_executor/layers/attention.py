@@ -18,6 +18,8 @@ from vllm_quick_tpu.ops.cache_ops import (reshape_and_cache,
                                           reshape_and_cache_prefill)
 from vllm_quick_tpu.ops.paged_attention import (paged_decode_attention,
                                                 use_pallas_attention)
+from vllm_quick_tpu.ops.ring_attention import (ring_prefill_attention,
+                                               sp_decode_attention)
 
 # Fused cache array [NB, 2, H, S, D] (K at index 0, V at 1 of axis 1).
 KVCache = jax.Array
@@ -34,6 +36,7 @@ class Attention:
         num_kv_heads: Optional[int] = None,
         alibi_slopes: Optional[jax.Array] = None,
         sliding_window: Optional[int] = None,
+        ctx=None,
     ) -> None:
         self.num_heads = num_heads
         self.head_size = head_size
@@ -41,7 +44,12 @@ class Attention:
         self.num_kv_heads = num_kv_heads or num_heads
         self.alibi_slopes = alibi_slopes
         self.sliding_window = sliding_window
+        self.ctx = ctx
         assert self.num_heads % self.num_kv_heads == 0
+        if ctx is not None and ctx.sp_size > 1:
+            assert alibi_slopes is None and sliding_window is None, (
+                "context parallelism (sp > 1) supports plain causal "
+                "attention only")
 
     def __call__(
         self,
@@ -66,6 +74,25 @@ class Attention:
             flat_v = v.reshape(-1, self.num_kv_heads, self.head_size)
             kv_cache = reshape_and_cache(flat_k, flat_v, kv_cache,
                                          meta.slot_mapping.reshape(-1))
+
+        sp = self.ctx is not None and self.ctx.sp_size > 1
+        if sp:
+            # Context parallelism (absent in the reference, which
+            # rejects prompts beyond one batch: core/scheduler.py:
+            # 193-202). Sequence/block-pool shards per sp rank; see
+            # ops/ring_attention.py for the collective patterns.
+            if meta.is_prompt:
+                assert meta.block_tables is None, (
+                    "prefix caching is not supported under sp")
+                out = ring_prefill_attention(
+                    q, k, v, meta.prompt_lens, self.scale,
+                    self.ctx.sp_axis, self.ctx.sp_size)
+            else:
+                out = sp_decode_attention(
+                    q, kv_cache, meta.block_tables, meta.context_lens,
+                    self.scale, self.ctx.sp_axis)
+            out = out.reshape(*lead, self.num_heads * self.head_size)
+            return out, kv_cache
 
         if meta.is_prompt:
             if meta.block_tables is not None:

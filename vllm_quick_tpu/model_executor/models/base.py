@@ -102,7 +102,8 @@ class GenericDecoder:
             self.num_heads, self.head_dim, self.scale,
             num_kv_heads=self.num_kv_heads,
             alibi_slopes=self._local_alibi(),
-            sliding_window=self.sliding_window)
+            sliding_window=self.sliding_window,
+            ctx=ctx)
         self.act = get_act_fn(self.act_name)
         # Fused gate->silu->down Pallas MLP (one kernel per layer
         # instead of two; back-to-back weight streams, +4% measured

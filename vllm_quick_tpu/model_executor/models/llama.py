@@ -72,7 +72,8 @@ class LlamaForCausalLM:
                                                   None))
         self.attn = Attention(self.num_heads, self.head_dim, self.scale,
                               num_kv_heads=self.num_kv_heads,
-                              sliding_window=self.sliding_window)
+                              sliding_window=self.sliding_window,
+                              ctx=ctx)
 
     # -- forward -----------------------------------------------------------
 

@@ -19,31 +19,37 @@ _MESH: Optional[Mesh] = None
 TP_AXIS = "tp"
 DP_AXIS = "dp"
 EP_AXIS = "ep"
-AXIS_ORDER = (DP_AXIS, EP_AXIS, TP_AXIS)
+SP_AXIS = "sp"
+AXIS_ORDER = (DP_AXIS, EP_AXIS, SP_AXIS, TP_AXIS)
 
 
 def make_mesh(
     tensor_parallel_size: int = 1,
     data_parallel_size: int = 1,
     expert_parallel_size: int = 1,
+    sequence_parallel_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build (and register) the global (dp, ep, tp) mesh.
+    """Build (and register) the global (dp, ep, sp, tp) mesh.
 
     TP is the innermost axis so its collectives ride the fastest ICI
-    links; DP is outermost so request-level parallelism crosses DCN.
+    links; SP (context parallelism: ring-attention prefill + partial
+    paged decode, ops/ring_attention.py) sits just outside it so KV
+    rotations stay on ICI; DP is outermost so request-level parallelism
+    crosses DCN.
     """
     global _MESH
     if devices is None:
         devices = jax.devices()
     world = (tensor_parallel_size * data_parallel_size *
-             expert_parallel_size)
+             expert_parallel_size * sequence_parallel_size)
     if world > len(devices):
         raise ValueError(
             f"Requested world size {world} exceeds available devices "
             f"({len(devices)}).")
     devs = np.asarray(devices[:world]).reshape(
-        data_parallel_size, expert_parallel_size, tensor_parallel_size)
+        data_parallel_size, expert_parallel_size,
+        sequence_parallel_size, tensor_parallel_size)
     _MESH = Mesh(devs, AXIS_ORDER)
     return _MESH
 
@@ -65,8 +71,10 @@ class ParallelContext:
     tp_size: int = 1
     dp_size: int = 1
     ep_size: int = 1
+    sp_size: int = 1
     tp_axis: str = TP_AXIS
     ep_axis: str = EP_AXIS
+    sp_axis: str = SP_AXIS
 
     def tp_all_reduce(self, x: jax.Array) -> jax.Array:
         """Sum-reduce across TP ranks (reference:
@@ -105,3 +113,8 @@ class ParallelContext:
         if self.ep_size == 1:
             return jnp.int32(0)
         return jax.lax.axis_index(self.ep_axis)
+
+    def sp_rank(self) -> jax.Array:
+        if self.sp_size == 1:
+            return jnp.int32(0)
+        return jax.lax.axis_index(self.sp_axis)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
 from vllm_quick_tpu.model_executor.layers.linear import LinearWeights
 from vllm_quick_tpu.ops.quant_formats import QuantizedWeight
 from vllm_quick_tpu.parallel.mesh import EP_AXIS, TP_AXIS
@@ -130,11 +131,15 @@ def param_pspecs(params: Any, tp_axis: str = TP_AXIS) -> Any:
 
 
 def kv_cache_pspec(tp_axis: str = TP_AXIS,
-                   dp_axis: Optional[str] = None) -> P:
+                   dp_axis: Optional[str] = None,
+                   sp_axis: Optional[str] = None) -> P:
     """Paged KV caches are fused [NB, 2, H, S, D]: KV heads shard over
     tp (config.py:259-267 analogue); with dp, each replica owns its own
-    block pool so NB shards over dp."""
-    return P(dp_axis, None, tp_axis, None, None)
+    block pool so NB shards over dp; with sp (context parallelism) the
+    pool additionally shards its blocks over sp ranks."""
+    lead = tuple(a for a in (dp_axis, sp_axis) if a)
+    return P(lead if len(lead) > 1 else (lead[0] if lead else None),
+             None, tp_axis, None, None)
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +221,66 @@ def make_sharded_step(
         out_specs = out_specs + (tuple(batch
                                        for _ in range(n_extra_outputs)),)
     step = jax.shard_map(raw_step, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    donate = (3,) if donate_caches else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def make_sp_sharded_step(
+    raw_step: Callable,
+    mesh: Mesh,
+    param_specs: Any,
+    is_prompt: bool,
+    tp_axis: str = TP_AXIS,
+    sp_axis: str = "sp",
+    donate_caches: bool = True,
+) -> Callable:
+    """Context-parallel (sp) step: the sequence (prefill) or block pool
+    (decode) shards over ``sp_axis``; params/weights replicate over sp
+    and shard over tp as usual. The reference has no equivalent — it
+    rejects prompts longer than one batch (core/scheduler.py:193-202).
+
+    Prefill program (``is_prompt=True``):
+      ids/positions/slot_mapping come as global [B, T] arrays, T sharded
+      over sp (rank r sees its contiguous chunk and writes KV into its
+      LOCAL pool shard via local slot values); ``prompt_lens`` is
+      global. Ring attention exchanges K/V chunks. Output logits are
+      per-rank last-LOCAL-token rows, returned stacked as [sp*B, V] —
+      the caller selects row ``(prompt_len-1)//(T//sp)*B + b``.
+
+    Decode program:
+      ids/positions replicate; ``slot_mapping``/``block_tables``/
+      ``context_lens`` come stacked per rank with a leading [sp] axis
+      (each rank's view of ITS pool shard; non-owner ranks point
+      slot_mapping at their local null block 0 and their context_lens
+      exclude the token). Partial attention + LSE-combine makes logits
+      identical on every rank, so outputs replicate.
+    """
+    cache = kv_cache_pspec(tp_axis, None, sp_axis)
+    if is_prompt:
+        seq = P(None, sp_axis)
+        in_specs = (param_specs, seq, seq, cache,
+                    InputMetadata(is_prompt=True, slot_mapping=seq,
+                                  prompt_lens=P()), P())
+        out_specs = (P(sp_axis), cache)
+        fn = raw_step
+    else:
+        stacked = P(sp_axis)
+        in_specs = (param_specs, P(), P(), cache,
+                    InputMetadata(is_prompt=False, slot_mapping=stacked,
+                                  context_lens=stacked,
+                                  block_tables=stacked), P())
+        out_specs = (P(), cache)
+
+        def fn(params, ids, pos, caches, meta, plens):
+            import dataclasses as _dc
+            meta = _dc.replace(
+                meta, slot_mapping=meta.slot_mapping[0],
+                context_lens=meta.context_lens[0],
+                block_tables=meta.block_tables[0])
+            return raw_step(params, ids, pos, caches, meta, plens)
+
+    step = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
     donate = (3,) if donate_caches else ()
     return jax.jit(step, donate_argnums=donate)
