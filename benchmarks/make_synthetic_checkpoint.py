@@ -62,21 +62,15 @@ def _quant_tensors(rng, k, n, group_size, dtype=np.float16):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--preset", default="7b", choices=sorted(PRESETS))
-    ap.add_argument("--group-size", type=int, default=128)
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
-
-    vocab, e, inter, layers, heads, kv_heads, max_pos = \
-        PRESETS[args.preset]
+def generate(out: str, preset: str = "7b", group_size: int = 128,
+             seed: int = 0) -> int:
+    """Write the checkpoint; returns total tensor bytes."""
+    vocab, e, inter, layers, heads, kv_heads, max_pos = PRESETS[preset]
     head_dim = e // heads
-    g = args.group_size
-    rng = np.random.default_rng(args.seed)
+    g = group_size
+    rng = np.random.default_rng(seed)
 
-    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
 
     tensors = {}
     emb_scale = 1.0 / np.sqrt(e)
@@ -107,7 +101,7 @@ def main():
             print(f"  layer {i + 1}/{layers}", file=sys.stderr)
 
     from safetensors.numpy import save_file
-    save_file(tensors, os.path.join(args.out, "model.safetensors"))
+    save_file(tensors, os.path.join(out, "model.safetensors"))
 
     config = {
         "architectures": ["LlamaForCausalLM"],
@@ -133,7 +127,7 @@ def main():
             "version": "gemm",
         },
     }
-    with open(os.path.join(args.out, "config.json"), "w") as f:
+    with open(os.path.join(out, "config.json"), "w") as f:
         json.dump(config, f, indent=1)
 
     # Byte-level tokenizer (same recipe as tests/utils.py, standalone so
@@ -153,9 +147,19 @@ def main():
     PreTrainedTokenizerFast(
         tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
         eos_token="</s>", pad_token="</s>",
-        model_max_length=max_pos).save_pretrained(args.out)
+        model_max_length=max_pos).save_pretrained(out)
 
-    nbytes = sum(t.nbytes for t in tensors.values())
+    return sum(t.nbytes for t in tensors.values())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--preset", default="7b", choices=sorted(PRESETS))
+    ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    nbytes = generate(args.out, args.preset, args.group_size, args.seed)
     print(json.dumps({"out": args.out, "preset": args.preset,
                       "bytes": nbytes}))
 

@@ -45,3 +45,56 @@ def test_perplexity_matches_hf():
     # bf16 casts in compute_perplexity aren't used here (fp32 model);
     # tolerances cover accumulation-order differences.
     assert abs(ppl - hf_ppl) / hf_ppl < 0.02, (ppl, hf_ppl)
+
+
+def test_int4_vs_dequant_ppl_delta(tmp_path):
+    """BASELINE accuracy-gate methodology on local data: the INT4
+    execution path's perplexity must match a dense model built from the
+    SAME dequantized weights (the only difference is kernel numerics,
+    the quantity the real-checkpoint gate bounds at 0.1)."""
+    import json
+    import os
+    import shutil
+
+    from safetensors.numpy import load_file, save_file
+
+    import vllm_quick_tpu.ops.quant_formats as qf
+    from benchmarks.make_synthetic_checkpoint import generate
+
+    qdir = str(tmp_path / "awq")
+    generate(qdir, preset="tiny", group_size=64)
+
+    # Dense twin: dequantize (q - z) * s per group into fp32 weights.
+    t = load_file(os.path.join(qdir, "model.safetensors"))
+    dense = {}
+    for name in t:
+        if name.endswith(".qweight"):
+            p = name[:-len(".qweight")]
+            q = qf.awq_unpack_int32(t[name]).astype(np.float32)
+            z = qf.awq_unpack_int32(t[p + ".qzeros"]).astype(np.float32)
+            s = t[p + ".scales"].astype(np.float32)
+            g = q.shape[0] // s.shape[0]
+            w = (q - np.repeat(z, g, axis=0)) * np.repeat(s, g, axis=0)
+            dense[p + ".weight"] = np.ascontiguousarray(w.T)  # HF [N,K]
+        elif not name.endswith((".qzeros", ".scales")):
+            dense[name] = t[name].astype(np.float32)
+    ddir = str(tmp_path / "dense")
+    os.makedirs(ddir)
+    save_file(dense, os.path.join(ddir, "model.safetensors"))
+    with open(os.path.join(qdir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg.pop("quantization_config")
+    cfg["torch_dtype"] = "float32"
+    with open(os.path.join(ddir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    for fn in ("tokenizer.json", "tokenizer_config.json",
+               "special_tokens_map.json"):
+        shutil.copy(os.path.join(qdir, fn), ddir)
+
+    rng = np.random.default_rng(1)
+    token_ids = rng.integers(3, 250, size=96).tolist()
+    mq, pq = get_model(ModelConfig(model=qdir, dtype="float32"))
+    ppl_q, _ = compute_perplexity(mq, pq, token_ids, max_len=48)
+    md, pd = get_model(ModelConfig(model=ddir, dtype="float32"))
+    ppl_d, _ = compute_perplexity(md, pd, token_ids, max_len=48)
+    assert abs(ppl_q - ppl_d) / ppl_d < 0.02, (ppl_q, ppl_d)
