@@ -296,6 +296,7 @@ class SchedulerConfig:
         speculative_model: Optional[str] = None,
         num_speculative_tokens: int = 4,
         num_decode_steps: int = 1,
+        enable_chunked_prefill: bool = False,
     ) -> None:
         if max_num_batched_tokens is not None:
             self.max_num_batched_tokens = max_num_batched_tokens
@@ -317,10 +318,18 @@ class SchedulerConfig:
         # on remote-attached accelerators. The scheduler reserves the
         # extra KV slots exactly like speculative lookahead.
         self.num_decode_steps = num_decode_steps
+        # Chunked prefill: prompts longer than the per-step token
+        # budget are processed block-aligned-chunk by chunk through the
+        # prefix-attention path, so max_model_len is no longer capped
+        # by max_num_batched_tokens and one giant prompt cannot
+        # monopolize the step loop. (The reference rejects such
+        # prompts outright: core/scheduler.py:193-202.)
+        self.enable_chunked_prefill = enable_chunked_prefill
         self._verify_args()
 
     def _verify_args(self) -> None:
-        if self.max_num_batched_tokens < self.max_model_len:
+        if (self.max_num_batched_tokens < self.max_model_len
+                and not self.enable_chunked_prefill):
             raise ValueError(
                 f"max_num_batched_tokens ({self.max_num_batched_tokens}) is "
                 f"smaller than max_model_len ({self.max_model_len}). "
@@ -338,6 +347,10 @@ class SchedulerConfig:
             raise ValueError(
                 "multi-step decode (num_decode_steps > 1) and "
                 "speculative decoding are mutually exclusive")
+        if self.enable_chunked_prefill and self.speculative_model:
+            raise ValueError(
+                "chunked prefill and speculative decoding are "
+                "mutually exclusive")
 
 
 class DeviceConfig:

@@ -47,6 +47,10 @@ class SchedulerOutputs:
     blocks_to_swap_out: Dict[int, int]
     blocks_to_copy: Dict[int, List[int]]
     ignored_seq_groups: List[SequenceGroup]
+    # Chunked prefill: request ids scheduled as a NON-final prompt
+    # chunk this step — the engine must not consume their sampled
+    # token.
+    chunked_ids: Set[str] = field(default_factory=set)
 
     def __post_init__(self) -> None:
         # A step never swaps both directions.
@@ -88,6 +92,10 @@ class _BatchBudget:
                        if scheduler.lora_config else None),
         )
         for g in scheduler.running:
+            budget.n_seqs += g.get_max_num_running_seqs()
+            if g.lora_int_id > 0:
+                budget.loras.add(g.lora_int_id)
+        for g in scheduler.prefilling:
             budget.n_seqs += g.get_max_num_running_seqs()
             if g.lora_int_id > 0:
                 budget.loras.add(g.lora_int_id)
@@ -137,8 +145,17 @@ class Scheduler:
         self.cache_config = cache_config
         self.lora_config = lora_config
 
-        self.prompt_limit = min(scheduler_config.max_model_len,
-                                scheduler_config.max_num_batched_tokens)
+        self._chunked = getattr(scheduler_config,
+                                "enable_chunked_prefill", False)
+        if self._chunked:
+            # Chunked prefill lifts the reference's hard cap
+            # (core/scheduler.py:193-202): prompts are bounded by the
+            # model length only, not the per-step token budget.
+            self.prompt_limit = scheduler_config.max_model_len
+        else:
+            self.prompt_limit = min(
+                scheduler_config.max_model_len,
+                scheduler_config.max_num_batched_tokens)
         self.policy = PolicyFactory.get_policy("fcfs")
         self.block_manager = BlockSpaceManager(
             block_size=cache_config.block_size,
@@ -151,6 +168,12 @@ class Scheduler:
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
+        # Chunked prefill: groups whose prompt is partially computed.
+        # They hold all their blocks (allocated up front) but are not
+        # decode candidates until the final chunk lands.
+        self.prefilling: Deque[SequenceGroup] = deque()
+        self._chunk_plan: Dict[str, Tuple[int, int]] = {}
+        self._chunk_streak = False
 
         # Speculative decoding reserves k extra KV slots per decode
         # step so the draft+score pass never outruns the block tables;
@@ -176,7 +199,8 @@ class Scheduler:
             self, request_id: Union[str, Iterable[str]]) -> None:
         targets = {request_id} if isinstance(request_id, str) \
             else set(request_id)
-        for queue in (self.waiting, self.running, self.swapped):
+        for queue in (self.waiting, self.running, self.swapped,
+                      self.prefilling):
             if not targets:
                 break
             hits = [g for g in queue if g.request_id in targets]
@@ -189,10 +213,12 @@ class Scheduler:
                         self.free_seq(seq)
 
     def has_unfinished_seqs(self) -> bool:
-        return bool(self.waiting or self.running or self.swapped)
+        return bool(self.waiting or self.running or self.swapped
+                    or self.prefilling)
 
     def get_num_unfinished_seq_groups(self) -> int:
-        return len(self.waiting) + len(self.running) + len(self.swapped)
+        return (len(self.waiting) + len(self.running) + len(self.swapped)
+                + len(self.prefilling))
 
     # ---- step planning ---------------------------------------------------
 
@@ -212,6 +238,42 @@ class Scheduler:
         admitted: List[SequenceGroup] = []
         deferred: List[SequenceGroup] = []
         budget = _BatchBudget.for_running(self)
+        self._chunk_plan = {}
+        chunked_ids: Set[str] = set()
+        bs = self.cache_config.block_size
+
+        def chunk_cap() -> int:
+            """Largest admissible chunk under the padded-token budget
+            (chunks pad to the batch max like any prompt)."""
+            n = len(budget.prompt_lens) + 1
+            return self.scheduler_config.max_num_batched_tokens // n
+
+        # Phase 0 (chunked prefill): continue in-flight prefills FCFS.
+        still: List[SequenceGroup] = []
+        while self.prefilling:
+            group = self.prefilling[0]
+            seq = group.get_seqs(status=SequenceStatus.RUNNING)[0]
+            total = seq.get_len()
+            start = group.prefill_progress
+            chunk = min(total - start, chunk_cap())
+            if start + chunk < total:
+                # Non-final chunks end block-aligned so prefill KV
+                # writes stay whole-block (ops/cache_ops.py invariant).
+                chunk = chunk // bs * bs
+            if chunk <= 0 or not budget.prompt_tokens_fit(chunk):
+                break
+            self.prefilling.popleft()
+            budget.prompt_lens.append(chunk)
+            end = start + chunk
+            self._chunk_plan[group.request_id] = (start, end)
+            group.prefill_progress = end
+            admitted.append(group)
+            if end < total:
+                chunked_ids.add(group.request_id)
+                still.append(group)
+            else:
+                self.running.append(group)
+        self.prefilling.extendleft(reversed(still))
 
         while self.waiting:
             group = self.waiting[0]
@@ -237,17 +299,36 @@ class Scheduler:
                 # Skip — other adapters behind it may still fit.
                 deferred.append(self.waiting.popleft())
                 continue
-            if not budget.prompt_tokens_fit(prompt_len):
-                break
             if not budget.seqs_fit(group.get_max_num_running_seqs()):
                 break
+            first_chunk = None
+            if not budget.prompt_tokens_fit(prompt_len):
+                # Chunked prefill: admit the first block-aligned chunk
+                # instead of waiting for a step with full-budget room.
+                # Prompt-logprobs (echo) requests need the whole prompt
+                # in one step, so they keep the legacy behavior.
+                if (not self._chunked
+                        or group.sampling_params.prompt_logprobs
+                        is not None):
+                    break
+                first_chunk = min(prompt_len, chunk_cap()) // bs * bs
+                if (first_chunk <= 0 or first_chunk >= prompt_len
+                        or not budget.prompt_tokens_fit(first_chunk)):
+                    break
 
             self.waiting.popleft()
-            budget.admit(group, prompt_len=prompt_len)
+            budget.admit(group,
+                         prompt_len=first_chunk or prompt_len)
             self.block_manager.allocate(group)
             for seq in group.get_seqs(status=SequenceStatus.WAITING):
                 seq.status = SequenceStatus.RUNNING
-            self.running.append(group)
+            if first_chunk is not None:
+                group.prefill_progress = first_chunk
+                self._chunk_plan[group.request_id] = (0, first_chunk)
+                chunked_ids.add(group.request_id)
+                self.prefilling.append(group)
+            else:
+                self.running.append(group)
             admitted.append(group)
 
         # LoRA-deferred groups keep their queue position.
@@ -263,6 +344,7 @@ class Scheduler:
             blocks_to_swap_out={},
             blocks_to_copy={},
             ignored_seq_groups=ignored,
+            chunked_ids=chunked_ids,
         )
 
     def _plan_decode(
@@ -329,9 +411,17 @@ class Scheduler:
         # Swapped groups have strictly older arrival times than waiting
         # ones, so no prompt admission happens while any are parked.
         if not self.swapped:
-            prompt_plan = self._admit_prompts()
-            if prompt_plan is not None:
-                return prompt_plan
+            # Fairness under chunked prefill: after a chunk-bearing
+            # prompt step, run one decode step (if any sequences are
+            # decoding) before the next chunk, so a giant prompt can't
+            # starve running sequences' TPOT.
+            if self._chunk_streak and self.running:
+                self._chunk_streak = False
+            else:
+                prompt_plan = self._admit_prompts()
+                if prompt_plan is not None:
+                    self._chunk_streak = bool(prompt_plan.chunked_ids)
+                    return prompt_plan
 
         swap_in: Dict[int, int] = {}
         swap_out: Dict[int, int] = {}
@@ -375,6 +465,7 @@ class Scheduler:
                     block_tables=tables,
                     lora_request=group.lora_request,
                     prefix=group.prefix,
+                    chunk=self._chunk_plan.get(group.request_id),
                 ))
         return metadata, plan
 

@@ -41,6 +41,7 @@ class EngineArgs:
     speculative_model: Optional[str] = None
     num_speculative_tokens: int = 4
     num_decode_steps: int = 1
+    enable_chunked_prefill: bool = False
     disable_log_stats: bool = False
     revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
@@ -135,6 +136,7 @@ class EngineArgs:
             speculative_model=self.speculative_model,
             num_speculative_tokens=self.num_speculative_tokens,
             num_decode_steps=self.num_decode_steps,
+            enable_chunked_prefill=self.enable_chunked_prefill,
         )
         device_config = DeviceConfig(self.device)
         lora_config = LoRAConfig(

@@ -278,7 +278,14 @@ class LLMEngine:
         scheduled_seq_groups = scheduler_outputs.scheduled_seq_groups
         now = time.time()
         if output:
+            chunked = scheduler_outputs.chunked_ids
             for seq_group, outputs in zip(scheduled_seq_groups, output):
+                if (scheduler_outputs.prompt_run
+                        and seq_group.request_id in chunked):
+                    # Non-final prefill chunk: KV was written; the
+                    # sampled token is meaningless until the last
+                    # chunk. TTFT clock keeps running.
+                    continue
                 self._process_sequence_group_outputs(seq_group, outputs)
                 if seq_group.first_token_time is None:
                     seq_group.first_token_time = now

@@ -282,6 +282,8 @@ class SequenceGroup:
         self.first_scheduled_time: Optional[float] = None
         self.first_token_time: Optional[float] = None
         self.last_token_time: Optional[float] = None
+        # Chunked prefill: prompt tokens already computed into KV.
+        self.prefill_progress: int = 0
 
     @property
     def prompt(self) -> str:
@@ -363,7 +365,7 @@ class SequenceGroupMetadata:
     one step: token logs + physical block tables, keyed by seq_id."""
 
     __slots__ = ("request_id", "is_prompt", "seq_data", "sampling_params",
-                 "block_tables", "lora_request", "prefix")
+                 "block_tables", "lora_request", "prefix", "chunk")
 
     def __init__(
         self,
@@ -374,6 +376,7 @@ class SequenceGroupMetadata:
         block_tables: Dict[int, List[int]],
         lora_request=None,
         prefix=None,
+        chunk=None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
@@ -382,6 +385,10 @@ class SequenceGroupMetadata:
         self.block_tables = block_tables
         self.lora_request = lora_request
         self.prefix = prefix
+        # Chunked prefill: (start, end) token range of the prompt this
+        # step covers; None = the whole (remaining) prompt. When
+        # end < prompt length no token is sampled for this group.
+        self.chunk = chunk
 
     @property
     def lora_int_id(self) -> int:

@@ -224,19 +224,28 @@ class ModelRunner:
             data = m.seq_data[seq_id]
             tokens = data.get_token_ids()
             bt = m.block_tables[seq_id] if m.block_tables else None
-            # Prefix caching: skip already-computed prefix tokens.
             start = 0
-            if m.prefix is not None and m.prefix.computed:
+            end = len(tokens)
+            if getattr(m, "chunk", None) is not None:
+                # Chunked prefill: this step covers prompt range
+                # [start, end); earlier chunks are already in the KV
+                # cache and attended via the prefix path with the
+                # sequence's own block table.
+                start, end = m.chunk
+                prefix_tables.append(
+                    bt[:-(-start // self.block_size)] if start else [])
+            elif m.prefix is not None and m.prefix.computed:
+                # Prefix caching: skip already-computed prefix tokens.
                 start = m.prefix.get_length()
                 prefix_tables.append(m.prefix.get_block_numbers())
             else:
                 prefix_tables.append([])
             prefix_lens.append(start)
-            ids_list.append(tokens[start:])
-            pos_list.append(list(range(start, len(tokens))))
+            ids_list.append(tokens[start:end])
+            pos_list.append(list(range(start, end)))
             slot_list.append(
-                [self._slot(bt, p) for p in range(start, len(tokens))])
-            lens.append(len(tokens) - start)
+                [self._slot(bt, p) for p in range(start, end)])
+            lens.append(end - start)
 
         b = pad_to_bucket(len(metas), _PREFILL_BATCH_BUCKETS)
         lmax = pad_to_bucket(max(lens), _LEN_BUCKETS)
