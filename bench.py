@@ -112,6 +112,52 @@ def main():
         logits = model.compute_logits(params, hidden)
         return logits, new_caches
 
+    # BENCH_PREFILL=1 measures the prompt step instead: one full-length
+    # causal prefill (flash kernel path) at BENCH_CTX, reported as
+    # prompt tokens/s — the VERDICT r2 item-3 prefill row.
+    if os.environ.get("BENCH_PREFILL"):
+        l = ctx_len
+        p_ids = jnp.zeros((batch, l), jnp.int32)
+        p_pos = jnp.tile(jnp.arange(l, dtype=jnp.int32)[None, :],
+                         (batch, 1))
+        slots = np.zeros((batch, l), np.int32)
+        for i in range(batch):
+            for p in range(l):
+                slots[i, p] = bt[i, p // block_size] * block_size \
+                    + p % block_size
+        p_meta = InputMetadata(
+            is_prompt=True, slot_mapping=jnp.asarray(slots),
+            prompt_lens=jnp.full((batch,), l, jnp.int32))
+
+        def _prefill(params, ids2, pos2, kv_caches):
+            hidden, new_caches = model.forward(params, ids2, pos2,
+                                               kv_caches, p_meta)
+            logits = model.compute_logits(params, hidden[:, -1])
+            return logits, new_caches
+
+        pstep = jax.jit(_prefill, donate_argnums=(3,))
+        logits, caches = pstep(params, p_ids, p_pos, caches)
+        fetched = np.asarray(logits)
+        t0 = time.perf_counter()
+        fetched = np.asarray(logits)
+        fetch_rtt = time.perf_counter() - t0
+        iters = int(os.environ.get("BENCH_ITERS", "8"))
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                logits, caches = pstep(params, p_ids, p_pos, caches)
+            fetched = np.asarray(logits)
+            dt = min(dt, time.perf_counter() - t0 - fetch_rtt)
+        tok_s = iters * batch * l / dt
+        print(json.dumps({
+            "metric": f"llama2_7b_int4_prefill_tok_s_ctx{ctx_len}",
+            "value": round(tok_s, 1),
+            "unit": "prompt tokens/s",
+            "step_ms": round(dt / iters * 1e3, 2),
+        }))
+        return
+
     # BENCH_DECODE_STEPS=K measures the engine's multi-step decode
     # program (--num-decode-steps): K chained step+greedy-sample
     # iterations per dispatch, slot mapping recomputed in-graph —
