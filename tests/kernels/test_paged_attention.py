@@ -204,3 +204,55 @@ def test_prefill_attention_masks_pads(rng):
                              jnp.asarray([7, 7], jnp.int32), d**-0.5)
     np.testing.assert_allclose(np.asarray(out[1, :7]),
                                np.asarray(out2[1]), rtol=1e-4, atol=1e-4)
+
+
+def test_decode_partials_combine_matches_full(rng):
+    """The partials variant (sp combine inputs) must reconstruct the
+    full-context attention exactly when combined across two pool
+    shards — interpret-mode check of the kernel's (acc, l, m) contract
+    (real-TPU compile covered by the on-chip microbench)."""
+    import jax.numpy as jnp
+    from vllm_quick_tpu.ops.attention import paged_decode_attention_ref
+    from vllm_quick_tpu.ops.paged_attention import (
+        paged_decode_attention_partials)
+
+    b, hq, hkv, d, s = 2, 4, 2, 128, 8
+    nb_local, mb_local = 5, 4
+    sp = 2
+    cache = jnp.asarray(
+        rng.standard_normal((nb_local * sp, 2, hkv, s, d)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+
+    bt_global = np.zeros((b, mb_local * sp), np.int32)
+    for i in range(b):
+        for j in range(mb_local * sp):
+            r = j // mb_local
+            bt_global[i, j] = r * nb_local + j % mb_local + i
+    ctx = np.asarray([mb_local * sp * s - 3, s + 2], np.int32)
+    ref = paged_decode_attention_ref(
+        q, cache[:, 0], cache[:, 1], jnp.asarray(bt_global),
+        jnp.asarray(ctx), d ** -0.5)
+
+    outs = []
+    for r in range(sp):
+        shard = cache[r * nb_local:(r + 1) * nb_local]
+        bt_l = bt_global[:, r * mb_local:(r + 1) * mb_local] \
+            - r * nb_local
+        cl_l = np.clip(ctx - r * mb_local * s, 0, mb_local * s)
+        outs.append(paged_decode_attention_partials(
+            q, shard, jnp.asarray(bt_l), jnp.asarray(cl_l), d ** -0.5,
+            interpret=True))
+    import numpy as np_
+    ms = jnp.stack([o[2] for o in outs])
+    mg = jnp.max(ms, axis=0)
+    mg_safe = jnp.where(jnp.isfinite(mg), mg, 0.0)
+    num = sum(o[0] * jnp.where(jnp.isfinite(o[2]),
+                               jnp.exp(o[2] - mg_safe), 0.0)[..., None]
+              for o in outs)
+    den = sum(o[1] * jnp.where(jnp.isfinite(o[2]),
+                               jnp.exp(o[2] - mg_safe), 0.0)
+              for o in outs)
+    combined = num / jnp.maximum(den[..., None], 1e-20)
+    np_.testing.assert_allclose(np_.asarray(combined, np_.float32),
+                                np_.asarray(ref, np_.float32),
+                                rtol=3e-2, atol=3e-2)

@@ -86,6 +86,9 @@ def _decode_kernel(
     gp: int,
     scale: float,
     sliding_window: Optional[int],
+    lm_ref=None,         # [1, rows, 128] f32: col 0 = sumexp l, col 1
+                         # = running max m; set for the sp-partials
+                         # variant (ops/ring_attention.py combine).
 ):
     b = pl.program_id(0)
     ctx = context_lens_ref[b]
@@ -228,7 +231,15 @@ def _decode_kernel(
     l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((rows, d), dtype=jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
-    o_ref[0] = acc / jnp.maximum(l, 1e-20)
+    if lm_ref is None:
+        o_ref[0] = acc / jnp.maximum(l, 1e-20)
+    else:
+        # Partials for a cross-shard log-sum-exp combine: acc is at
+        # the LOCAL max m (matches exp(s - m) above), so the combiner
+        # rescales by exp(m - M_global) before summing.
+        o_ref[0] = acc
+        lm_ref[0] = jnp.pad(jnp.concatenate([l, m], axis=1),
+                            ((0, 0), (0, 126)))
 
 
 def _decode_kernel_pipelined(
@@ -360,9 +371,11 @@ def _paged_decode_pipelined(q, kv_cache, block_tables, context_lens,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gp", "scale", "sliding_window", "interpret"))
+    static_argnames=("gp", "scale", "sliding_window", "interpret",
+                     "partials"))
 def _paged_decode(q, kv_cache, block_tables, context_lens,
-                  alibi, *, gp, scale, sliding_window, interpret=False):
+                  alibi, *, gp, scale, sliding_window, interpret=False,
+                  partials=False):
     b, rows, d = q.shape
     nb, _two, hkv, s, _ = kv_cache.shape
 
@@ -379,7 +392,20 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
         pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    if alibi is not None:
+    if partials:
+        assert alibi is None, "partials path is plain causal only"
+
+        def kernel_partials(bt, cl, q_ref, kv_hbm, o_ref, lm_ref,
+                            k_buf, v_buf, k_sem, v_sem):
+            return _decode_kernel(bt, cl, q_ref, kv_hbm, None,
+                                  o_ref, k_buf, v_buf, k_sem, v_sem,
+                                  block_size=s, num_kv_heads=hkv, gp=gp,
+                                  scale=scale,
+                                  sliding_window=sliding_window,
+                                  lm_ref=lm_ref)
+        kernel = kernel_partials
+        args = [q, kv_cache]
+    elif alibi is not None:
         in_specs.append(pl.BlockSpec((rows, 1), lambda i, *_: (0, 0)))
         args = [q, kv_cache, alibi]
     else:
@@ -394,11 +420,19 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
         kernel = kernel_noalibi
         args = [q, kv_cache]
 
+    out_spec = pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, rows, d), jnp.float32)
+    if partials:
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, rows, 128), lambda i, *_: (i, 0, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, rows, 128), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
             pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
@@ -409,9 +443,46 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, rows, d), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(block_tables, context_lens, *args)
+
+
+def paged_decode_attention_partials(
+    q: jax.Array,               # [B, Hq, D]
+    kv_cache: jax.Array,        # [NB, 2, Hkv, S, D] fused (pool SHARD)
+    block_tables: jax.Array,    # [B, MB] int32 (local ids)
+    context_lens: jax.Array,    # [B] int32 (local tokens; 0 = none)
+    scale: float,
+    interpret: bool = False,
+):
+    """Kernel-rate attention partials over a local pool shard for the
+    context-parallel decode combine (ops/ring_attention.py): returns
+    (num [B,Hq,D] f32 unnormalized at the local max, l [B,Hq] sumexp,
+    m [B,Hq] max logit). Plain causal only (no ALiBi/sliding)."""
+    b, hq, d = q.shape
+    hkv = kv_cache.shape[2]
+    g = hq // hkv
+    mb = block_tables.shape[1]
+    if mb % _W != 0:
+        block_tables = jnp.pad(block_tables,
+                               ((0, 0), (0, _W - mb % _W)))
+    gp = g
+    while (hkv * gp) % 8 != 0:
+        gp += 1
+    qg = q.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    qg = qg.reshape(b, hkv * gp, d)
+    num, lm = _paged_decode(qg.astype(jnp.bfloat16), kv_cache,
+                            block_tables.astype(jnp.int32),
+                            context_lens.astype(jnp.int32), None,
+                            gp=gp, scale=float(scale),
+                            sliding_window=None, interpret=interpret,
+                            partials=True)
+    num = num.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, hq, d)
+    lm = lm.reshape(b, hkv, gp, 128)[:, :, :g].reshape(b, hq, 128)
+    return num, lm[..., 0], lm[..., 1]
 
 
 def paged_decode_attention(

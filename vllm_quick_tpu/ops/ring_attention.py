@@ -150,11 +150,20 @@ def sp_decode_attention(
 
     The combine is exact: with global max M, each rank rescales by
     exp(m - M) before the sums, so softmax normalization happens once
-    over the full context.
+    over the full context. Partials come from the Pallas decode kernel
+    at its full DMA-pipelined rate on TPU; the jnp gather path is the
+    CPU/odd-shape fallback.
     """
-    num, l, m = paged_decode_attention_partial(
-        q, kv_cache[:, 0], kv_cache[:, 1], block_tables, context_lens,
-        scale)
+    from vllm_quick_tpu.ops.paged_attention import (
+        paged_decode_attention_partials, use_pallas_attention)
+    if use_pallas_attention(q.shape[-1], kv_cache.shape[3],
+                            kv_cache.dtype):
+        num, l, m = paged_decode_attention_partials(
+            q, kv_cache, block_tables, context_lens, scale)
+    else:
+        num, l, m = paged_decode_attention_partial(
+            q, kv_cache[:, 0], kv_cache[:, 1], block_tables,
+            context_lens, scale)
     mg = jax.lax.pmax(m, axis_name)                     # [B,Hq] global
     mg_safe = jnp.where(jnp.isfinite(mg), mg, 0.0)
     alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - mg_safe), 0.0)
