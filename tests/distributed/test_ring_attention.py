@@ -103,3 +103,26 @@ def test_sp_decode_matches_reference(rng, sp):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_prefill_ksliced_long_chunk(rng):
+    """Chunks > 512 use the O(Tl*512) k-sliced inner loop — same math."""
+    sp, b, t, hq, hkv, d = 2, 1, 2048, 2, 2, 8
+    tl = t // sp
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.float32)
+    pl_ = jnp.asarray([t - 100], jnp.int32)
+    ref = prefill_attention(q, k, v, pl_, scale)
+    mesh = _mesh(sp)
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v, p: ring_prefill_attention(
+            q, k, v, p, scale, "sp", sp),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P()),
+        out_specs=P(None, "sp"), check_vma=False))
+    out = ring(q, k, v, pl_)
+    np.testing.assert_allclose(np.asarray(out[0, :t - 100]),
+                               np.asarray(ref[0, :t - 100]),
+                               rtol=2e-4, atol=2e-4)

@@ -58,6 +58,12 @@ def ring_prefill_attention(
     qf = jnp.moveaxis(qf, 1, 3)                      # [B, Hkv, G, Tq, D]
     q_pos = idx * tl + jnp.arange(tl)                # [Tq] global
 
+    # K-slice width: bounds the materialized [.., Tq, KC] logits so
+    # peak memory stays O(Tl * KC) per rotation, not O(Tl^2) — at the
+    # long contexts sp exists for, a full [Tl, Tl] slab would be GBs.
+    kc = tl if tl <= 512 or tl % 512 else 512
+    n_sub = tl // kc
+
     m0 = jnp.full((b, hkv, g, tl), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, tl), jnp.float32)
     a0 = jnp.zeros((b, hkv, g, tl, d), jnp.float32)
@@ -66,28 +72,36 @@ def ring_prefill_attention(
     def body(s, carry):
         k_cur, v_cur, m, l, acc = carry
         src = jax.lax.rem(idx - s + sp_size, sp_size)
-        k_pos = src * tl + jnp.arange(tl)            # [Tk] global
-        logits = jnp.einsum(
-            "bhgqd,bkhd->bhgqk", qf, k_cur.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST) * scale
-        mask = jnp.logical_and(                       # [B, Tq, Tk]
-            q_pos[None, :, None] >= k_pos[None, None, :],       # causal
-            k_pos[None, None, :] < prompt_lens[:, None, None])  # pad
-        logits = jnp.where(mask[:, None, None], logits, NEG_INF)
-        row_max = jnp.max(logits, axis=-1)
-        m_new = jnp.maximum(m, row_max)
-        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        p = jnp.exp(logits - m_safe[..., None])
-        p = jnp.where(mask[:, None, None], p, 0.0)
-        alpha = jnp.where(jnp.isfinite(m),
-                          jnp.exp(m - m_safe), 0.0)
-        l = l * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhgqk,bkhd->bhgqd", p, v_cur.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST)
+
+        def sub(j, carry2):
+            m, l, acc = carry2
+            ks = jax.lax.dynamic_slice_in_dim(k_cur, j * kc, kc, axis=1)
+            vs = jax.lax.dynamic_slice_in_dim(v_cur, j * kc, kc, axis=1)
+            k_pos = src * tl + j * kc + jnp.arange(kc)   # [KC] global
+            logits = jnp.einsum(
+                "bhgqd,bkhd->bhgqk", qf, ks.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST) * scale
+            mask = jnp.logical_and(                   # [B, Tq, KC]
+                q_pos[None, :, None] >= k_pos[None, None, :],
+                k_pos[None, None, :] < prompt_lens[:, None, None])
+            logits = jnp.where(mask[:, None, None], logits, NEG_INF)
+            row_max = jnp.max(logits, axis=-1)
+            m_new = jnp.maximum(m, row_max)
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            p = jnp.exp(logits - m_safe[..., None])
+            p = jnp.where(mask[:, None, None], p, 0.0)
+            alpha = jnp.where(jnp.isfinite(m),
+                              jnp.exp(m - m_safe), 0.0)
+            l = l * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhgqk,bkhd->bhgqd", p, vs.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST)
+            return m_new, l, acc
+
+        m, l, acc = jax.lax.fori_loop(0, n_sub, sub, (m, l, acc))
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return k_nxt, v_nxt, m_new, l, acc
+        return k_nxt, v_nxt, m, l, acc
 
     _, _, m, l, acc = jax.lax.fori_loop(
         0, sp_size, body, (k, v, m0, l0, a0))
