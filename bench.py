@@ -236,7 +236,7 @@ def main():
 
     if os.environ.get("BENCH_BREAKDOWN"):
         _breakdown(model, params, caches, meta, ids, positions, batch,
-                   step_ms, fetch_rtt, iters)
+                   step_ms, fetch_rtt, iters, step_fn=_step)
 
     print(json.dumps({
         "metric": "llama2_7b_int4_decode_tok_s_per_chip",
@@ -254,7 +254,7 @@ def _nbytes(tree):
 
 
 def _breakdown(model, params, caches, meta, ids, positions, batch,
-               step_ms, fetch_rtt, iters):
+               step_ms, fetch_rtt, iters, step_fn=None):
     """SURVEY §5 roofline reporter: time each step component as its own
     jitted chain at the real shapes and report bytes moved vs achieved
     HBM bandwidth. Printed to stderr; the driver's JSON line is last."""
@@ -365,12 +365,15 @@ def _breakdown(model, params, caches, meta, ids, positions, batch,
     #    slope, so (enqueue-loop step time - slope time) is the host
     #    gap and the slope's excess over the component sum is genuine
     #    on-device overhead (pallas call fixed cost + XLA glue).
-    def _step(params, input_ids, positions, kv_caches, meta,
-              prompt_lens):
-        hidden, new_caches = model.forward(params, input_ids, positions,
-                                           kv_caches, meta)
-        logits = model.compute_logits(params, hidden)
-        return logits, new_caches
+    if step_fn is None:
+        def step_fn(params, input_ids, positions, kv_caches, meta,
+                    prompt_lens):
+            hidden, new_caches = model.forward(params, input_ids,
+                                               positions, kv_caches,
+                                               meta)
+            logits = model.compute_logits(params, hidden)
+            return logits, new_caches
+    _step = step_fn
 
     import re
     txt = jax.jit(_step).lower(params, ids, positions, caches, meta,

@@ -57,10 +57,13 @@ def run_one(target, draft, k, num_tokens, input_len, max_model_len,
     emitted = getattr(worker, "emitted_tokens", 0) - em0
     steps = getattr(worker, "spec_steps", 0) - st0
 
+    # step_ms is cost per SPEC STEP (draft k + verify) when spec ran,
+    # else per plain decode step — the quantity the projections need.
+    denom = steps if steps else n_out
     row = {
         "k": k,
         "tok_s": round(n_out / dt, 2),
-        "step_ms": round(dt / max(steps, n_out) * 1e3, 2),
+        "step_ms": round(dt / denom * 1e3, 2),
         "output_tokens": n_out,
     }
     if k > 0 and steps:

@@ -97,3 +97,23 @@ def test_prompt_beyond_batch_budget_not_rejected():
     assert outs.prompt_run and not outs.ignored_seq_groups
     assert metas[0].chunk == (0, 32)
     assert group in sched.prefilling
+
+
+def test_echo_prompt_beyond_budget_rejected_not_stuck():
+    """prompt_logprobs requests can't be chunked; when their prompt
+    exceeds max_num_batched_tokens they must be REJECTED (the relaxed
+    prompt_limit would otherwise head-of-line-block the queue forever)."""
+    sched = _make_scheduler(max_batched=32, max_model_len=256)
+    seq = Sequence(seq_id=1, prompt="x" * 100,
+                   prompt_token_ids=list(range(3, 103)),
+                   block_size=BLOCK)
+    group = SequenceGroup(
+        request_id="echo", seqs=[seq],
+        sampling_params=SamplingParams(max_tokens=4, prompt_logprobs=1),
+        arrival_time=time.time())
+    sched.add_seq_group(group)
+    _add_prompt(sched, "next", 8)    # must not starve behind it
+
+    metas, outs = sched.schedule()
+    assert group in outs.ignored_seq_groups
+    assert [m.request_id for m in metas] == ["next"]

@@ -286,6 +286,21 @@ class Scheduler:
                     group, f"{prompt_len} tokens > limit "
                     f"{self.prompt_limit}", ignored)
                 continue
+            if (self._chunked
+                    and group.sampling_params.prompt_logprobs is not None
+                    and prompt_len
+                    > self.scheduler_config.max_num_batched_tokens):
+                # Echo requests need the whole prompt in one step, so
+                # under chunked prefill's relaxed prompt_limit they can
+                # exceed what any step can ever hold — reject rather
+                # than head-of-line-block the queue forever.
+                self.waiting.popleft()
+                self._reject_prompt(
+                    group, f"prompt_logprobs prompt of {prompt_len} "
+                    "tokens exceeds max_num_batched_tokens "
+                    f"({self.scheduler_config.max_num_batched_tokens})"
+                    " and cannot be chunked", ignored)
+                continue
             fit = self.block_manager.can_allocate(group)
             if fit == AllocStatus.NEVER:
                 self.waiting.popleft()
@@ -465,7 +480,8 @@ class Scheduler:
                     block_tables=tables,
                     lora_request=group.lora_request,
                     prefix=group.prefix,
-                    chunk=self._chunk_plan.get(group.request_id),
+                    chunk=(self._chunk_plan.get(group.request_id)
+                           if plan.prompt_run else None),
                 ))
         return metadata, plan
 

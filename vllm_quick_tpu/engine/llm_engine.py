@@ -120,6 +120,20 @@ class LLMEngine:
         self.worker.load_model()
         self._init_cache()
 
+        if (scheduler_config.num_decode_steps > 1
+                and getattr(self.worker.model_runner, "_fused_step",
+                            None) is None):
+            # Multi-step decode rides the single-host fused
+            # step+sampler dispatch; on multi-device/multi-host
+            # deployments it would silently no-op while still
+            # reserving k-1 lookahead KV slots per sequence — downgrade
+            # loudly instead.
+            logger.warning(
+                "num_decode_steps=%d requires the single-host fused "
+                "decode dispatch (world size 1); falling back to "
+                "single-step decode.", scheduler_config.num_decode_steps)
+            scheduler_config.num_decode_steps = 1
+
         self.scheduler = Scheduler(scheduler_config, cache_config,
                                    lora_config)
         self.stat_logger = StatLogger(

@@ -61,7 +61,14 @@ def ring_prefill_attention(
     # K-slice width: bounds the materialized [.., Tq, KC] logits so
     # peak memory stays O(Tl * KC) per rotation, not O(Tl^2) — at the
     # long contexts sp exists for, a full [Tl, Tl] slab would be GBs.
-    kc = tl if tl <= 512 or tl % 512 else 512
+    # Largest power-of-two divisor of Tl capped at 512, so any chunk
+    # length gets sliced (tl is even in practice; odd tl degrades to
+    # one slice).
+    kc = tl
+    for cand in (512, 256, 128, 64, 32, 16, 8, 4, 2):
+        if tl % cand == 0:
+            kc = min(cand, tl)
+            break
     n_sub = tl // kc
 
     m0 = jnp.full((b, hkv, g, tl), NEG_INF, jnp.float32)
