@@ -126,3 +126,43 @@ def test_ring_prefill_ksliced_long_chunk(rng):
     np.testing.assert_allclose(np.asarray(out[0, :t - 100]),
                                np.asarray(ref[0, :t - 100]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ring_prefill_block_strided_layout(rng):
+    """Explicit positions admit ANY chunk-to-rank layout: here the
+    engine's block-strided one (block j of the sequence on rank
+    j % sp), which also balances causal work across ranks."""
+    sp, b, t, hq, hkv, d, blk = 4, 2, 64, 4, 2, 16, 8
+    tl = t // sp
+    scale = d ** -0.5
+    q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.float32)
+    prompt_lens = jnp.asarray([t, t - 11], jnp.int32)
+    ref = prefill_attention(q, k, v, prompt_lens, scale)
+
+    # Permute the T axis so rank r's contiguous shard holds the tokens
+    # of blocks r, r+sp, r+2sp, ... (positions array carries truth).
+    perm = np.concatenate([
+        np.concatenate([np.arange(j * blk, (j + 1) * blk)
+                        for j in range(t // blk) if j % sp == r])
+        for r in range(sp)])
+    pos_perm = np.tile(perm[None, :], (b, 1)).astype(np.int32)
+
+    mesh = _mesh(sp)
+    ring = jax.jit(jax.shard_map(
+        lambda q, k, v, pl, pos: ring_prefill_attention(
+            q, k, v, pl, scale, "sp", sp, positions=pos),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(),
+                  P(None, "sp")),
+        out_specs=P(None, "sp"), check_vma=False))
+    out = ring(q[:, perm], k[:, perm], v[:, perm], prompt_lens,
+               jnp.asarray(pos_perm))
+
+    ref_perm = np.asarray(ref)[:, perm]
+    for i, pl in enumerate([t, t - 11]):
+        valid = perm < pl
+        np.testing.assert_allclose(np.asarray(out)[i, valid[:t]],
+                                   ref_perm[i, valid[:t]],
+                                   rtol=2e-5, atol=2e-5)

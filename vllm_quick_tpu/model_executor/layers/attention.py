@@ -58,6 +58,7 @@ class Attention:
         value: jax.Array,     # [..., Hkv*D]
         kv_cache: KVCache,    # [NB, 2, Hkv, S, D] fused
         meta: InputMetadata,
+        positions: Optional[jax.Array] = None,   # [B, L] global (sp)
     ) -> Tuple[jax.Array, KVCache]:
         lead = query.shape[:-1]
         q = query.reshape(*lead, self.num_heads, self.head_size)
@@ -86,7 +87,8 @@ class Attention:
                     "prefix caching is not supported under sp")
                 out = ring_prefill_attention(
                     q, k, v, meta.prompt_lens, self.scale,
-                    self.ctx.sp_axis, self.ctx.sp_size)
+                    self.ctx.sp_axis, self.ctx.sp_size,
+                    positions=positions)
             else:
                 out = sp_decode_attention(
                     q, kv_cache, meta.block_tables, meta.context_lens,

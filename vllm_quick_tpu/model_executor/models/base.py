@@ -204,7 +204,8 @@ class GenericDecoder:
             qh, kh = self.rope(positions, qh, kh)
             q = qh.reshape(*lead, -1)
             k = kh.reshape(*lead, -1)
-        out, kv_cache = self.attn(q, k, v, kv_cache, meta)
+        out, kv_cache = self.attn(q, k, v, kv_cache, meta,
+                                  positions=positions)
         out = apply_linear(layer["o"], out, li)
         out = self.ctx.tp_all_reduce(out)
         if layer.get("o_bias") is not None:

@@ -128,7 +128,7 @@ class LlamaForCausalLM:
         kh = k.reshape(*lead, self.num_kv_heads, self.head_dim)
         qh, kh = self.rope(positions, qh, kh)
         return self.attn(qh.reshape(*lead, -1), kh.reshape(*lead, -1),
-                         v, kv_cache, meta)
+                         v, kv_cache, meta, positions=positions)
 
     def _attention_block(self, layer, x, positions, kv_cache, meta):
         li = meta.lora_indices

@@ -39,16 +39,22 @@ def ring_prefill_attention(
     scale: float,
     axis_name: str,
     sp_size: int,
+    positions: Optional[jax.Array] = None,   # [B, Tl] global positions
 ) -> jax.Array:
     """Causal self-attention over a sequence sharded into ``sp_size``
-    rank-ordered chunks; returns this rank's output chunk.
+    per-rank chunks; returns this rank's output chunk.
 
-    Rank r holds global positions [r*Tl, (r+1)*Tl). K/V rotate ring-wise
-    (rank i sends to i+1), so after rotation step s rank r holds chunk
-    (r - s) mod sp — every rank sees every chunk exactly once while only
-    two chunks are ever resident. Fully-masked (future) chunks cost one
-    wasted matmul per rank; at sp ranks the waste is the standard
-    (sp-1)/2sp ring-attention imbalance, accepted for layout simplicity.
+    K/V rotate ring-wise (rank i sends to i+1), so after rotation step
+    s rank r holds chunk (r - s) mod sp — every rank sees every chunk
+    exactly once while only two chunks are ever resident.
+
+    Chunk-to-rank assignment is free: when ``positions`` is given, the
+    causal mask uses those explicit global positions (e.g. the
+    block-strided layout the engine uses, which also balances causal
+    work across ranks); when omitted, rank r is assumed to hold the
+    contiguous range [r*Tl, (r+1)*Tl). Fully-masked pairs cost one
+    wasted matmul; contiguous layout wastes the standard (sp-1)/2sp,
+    strided layouts less.
     """
     b, tl, hq, d = q.shape
     hkv = k.shape[2]
@@ -56,7 +62,11 @@ def ring_prefill_attention(
     idx = jax.lax.axis_index(axis_name)
     qf = q.astype(jnp.float32).reshape(b, tl, hkv, g, d)
     qf = jnp.moveaxis(qf, 1, 3)                      # [B, Hkv, G, Tq, D]
-    q_pos = idx * tl + jnp.arange(tl)                # [Tq] global
+    if positions is None:
+        q_pos = jnp.broadcast_to(idx * tl + jnp.arange(tl),
+                                 (b, tl))            # [B, Tq] global
+    else:
+        q_pos = positions
 
     # K-slice width: bounds the materialized [.., Tq, KC] logits so
     # peak memory stays O(Tl * KC) per rotation, not O(Tl^2) — at the
@@ -77,20 +87,22 @@ def ring_prefill_attention(
     perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
 
     def body(s, carry):
-        k_cur, v_cur, m, l, acc = carry
-        src = jax.lax.rem(idx - s + sp_size, sp_size)
+        # K positions travel WITH the K/V chunks around the ring, so
+        # any chunk-to-rank layout masks correctly.
+        k_cur, v_cur, kp, m, l, acc = carry
 
         def sub(j, carry2):
             m, l, acc = carry2
             ks = jax.lax.dynamic_slice_in_dim(k_cur, j * kc, kc, axis=1)
             vs = jax.lax.dynamic_slice_in_dim(v_cur, j * kc, kc, axis=1)
-            k_pos = src * tl + j * kc + jnp.arange(kc)   # [KC] global
+            k_pos = jax.lax.dynamic_slice_in_dim(kp, j * kc, kc,
+                                                 axis=1)  # [B, KC]
             logits = jnp.einsum(
                 "bhgqd,bkhd->bhgqk", qf, ks.astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST) * scale
             mask = jnp.logical_and(                   # [B, Tq, KC]
-                q_pos[None, :, None] >= k_pos[None, None, :],
-                k_pos[None, None, :] < prompt_lens[:, None, None])
+                q_pos[:, :, None] >= k_pos[:, None, :],
+                k_pos[:, None, :] < prompt_lens[:, None, None])
             logits = jnp.where(mask[:, None, None], logits, NEG_INF)
             row_max = jnp.max(logits, axis=-1)
             m_new = jnp.maximum(m, row_max)
@@ -108,10 +120,11 @@ def ring_prefill_attention(
         m, l, acc = jax.lax.fori_loop(0, n_sub, sub, (m, l, acc))
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return k_nxt, v_nxt, m, l, acc
+        kp_nxt = jax.lax.ppermute(kp, axis_name, perm)
+        return k_nxt, v_nxt, kp_nxt, m, l, acc
 
-    _, _, m, l, acc = jax.lax.fori_loop(
-        0, sp_size, body, (k, v, m0, l0, a0))
+    _, _, _, m, l, acc = jax.lax.fori_loop(
+        0, sp_size, body, (k, v, q_pos, m0, l0, a0))
     out = jnp.where(l[..., None] > 0, acc / jnp.maximum(l[..., None],
                                                         1e-38), 0.0)
     out = jnp.moveaxis(out, 3, 1).reshape(b, tl, hq, d)  # [B,Tq,Hq,D]
