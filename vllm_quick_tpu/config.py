@@ -251,6 +251,7 @@ class ParallelConfig:
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
         expert_parallel_size: int = 1,
+        sequence_parallel_size: int = 1,
         worker_use_ray: bool = False,  # accepted for CLI parity; unused
         max_parallel_loading_workers: Optional[int] = None,
         disable_custom_all_reduce: bool = False,  # CLI parity; ICI is native
@@ -260,28 +261,35 @@ class ParallelConfig:
         self.tensor_parallel_size = tensor_parallel_size
         self.data_parallel_size = data_parallel_size
         self.expert_parallel_size = expert_parallel_size
+        self.sequence_parallel_size = sequence_parallel_size
         self.worker_use_ray = worker_use_ray
         self.max_parallel_loading_workers = max_parallel_loading_workers
         self.disable_custom_all_reduce = disable_custom_all_reduce
         self.num_hosts = num_hosts
 
         self.world_size = (pipeline_parallel_size * tensor_parallel_size *
-                           data_parallel_size * expert_parallel_size)
+                           data_parallel_size * expert_parallel_size *
+                           sequence_parallel_size)
         self._verify_args()
 
     def _verify_args(self) -> None:
         if self.pipeline_parallel_size > 1:
             raise NotImplementedError(
                 "Pipeline parallelism is not supported yet.")
+        if self.sequence_parallel_size > 1 and (
+                self.data_parallel_size > 1
+                or self.expert_parallel_size > 1):
+            raise NotImplementedError(
+                "sequence parallelism currently composes with tp only")
 
     @property
     def mesh_shape(self):
         return (self.data_parallel_size, self.expert_parallel_size,
-                self.tensor_parallel_size)
+                self.sequence_parallel_size, self.tensor_parallel_size)
 
     @property
     def mesh_axis_names(self):
-        return ("dp", "ep", "tp")
+        return ("dp", "ep", "sp", "tp")
 
 
 class SchedulerConfig:

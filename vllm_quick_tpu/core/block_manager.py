@@ -95,12 +95,14 @@ class BlockSpaceManager:
         num_cpu_blocks: int,
         watermark: float = 0.01,
         sliding_window: Optional[int] = None,
+        sp_size: int = 1,
     ) -> None:
         assert watermark >= 0.0
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
         self.watermark_blocks = int(watermark * num_gpu_blocks)
+        self.sp_size = sp_size
 
         self.ring_blocks: Optional[int] = None
         if sliding_window is not None:
@@ -109,10 +111,41 @@ class BlockSpaceManager:
                 block_size)
             self.ring_blocks = sliding_window // block_size
 
-        # Device ids start at 1 (0 = null/pad block).
-        self.device_pool = BlockPool(num_gpu_blocks, base=1)
+        if sp_size > 1:
+            # Context parallelism: the device pool is sharded over sp
+            # ranks (global ids laid out shard-major: shard r owns
+            # [r*nb_local, (r+1)*nb_local), local id 0 of each shard is
+            # that shard's null/pad block). Logical block i of every
+            # sequence is placed on shard i % sp so causal work and
+            # per-step KV reads balance; swapping and sliding windows
+            # are out of scope for the sp pool.
+            assert sliding_window is None, (
+                "sliding window + sequence parallelism is unsupported")
+            self.nb_local = num_gpu_blocks // sp_size
+            self.device_pools = [
+                BlockPool(self.nb_local - 1, base=r * self.nb_local + 1)
+                for r in range(sp_size)]
+            self.device_pool = None
+        else:
+            # Device ids start at 1 (0 = null/pad block).
+            self.device_pool = BlockPool(num_gpu_blocks, base=1)
+            self.device_pools = None
         self.host_pool = BlockPool(num_cpu_blocks)
         self._tables: Dict[int, _SeqTable] = {}
+
+    # ---- sp shard helpers -------------------------------------------------
+
+    def shard_of(self, block_id: int) -> int:
+        return block_id // self.nb_local
+
+    def local_id(self, block_id: int) -> int:
+        return block_id - self.shard_of(block_id) * self.nb_local
+
+    def _dev(self, block_id: int) -> BlockPool:
+        """Pool owning a device block id (shard pool under sp)."""
+        if self.sp_size > 1:
+            return self.device_pools[self.shard_of(block_id)]
+        return self.device_pool
 
     # ---- prompt admission ------------------------------------------------
 
@@ -128,6 +161,19 @@ class BlockSpaceManager:
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
         needed = self._blocks_needed(seq_group)
+        if self.sp_size > 1:
+            # Logical block i lands on shard i % sp: the binding
+            # constraint is the fullest shard.
+            per = [-(-max(needed - r, 0) // self.sp_size)
+                   for r in range(self.sp_size)]
+            wm = self.watermark_blocks // self.sp_size
+            for r, pool in enumerate(self.device_pools):
+                if self.nb_local - 1 - per[r] < wm:
+                    return AllocStatus.NEVER
+            if all(pool.available() - per[r] >= wm
+                   for r, pool in enumerate(self.device_pools)):
+                return AllocStatus.OK
+            return AllocStatus.LATER
         if self.num_total_gpu_blocks - needed < self.watermark_blocks:
             return AllocStatus.NEVER
         if self.device_pool.available() - needed >= self.watermark_blocks:
@@ -147,7 +193,7 @@ class BlockSpaceManager:
         if prefix is not None and prefix.allocated:
             # Shared prefix already resident: alias its blocks.
             for blk in prefix.block_table:
-                self.device_pool.retain(blk, fanout)
+                self._dev(blk).retain(blk, fanout)
                 table.append(blk)
 
         while len(table) < total:
@@ -156,15 +202,17 @@ class BlockSpaceManager:
                 # Sliding window: wrap onto the ring, no new block.
                 table.append(table[len(table) % self.ring_blocks])
                 continue
-            blk = self.device_pool.acquire()
-            self.device_pool.set_refs(blk, fanout)
+            pool = (self.device_pools[len(table) % self.sp_size]
+                    if self.sp_size > 1 else self.device_pool)
+            blk = pool.acquire()
+            pool.set_refs(blk, fanout)
             table.append(blk)
 
         if prefix is not None and not prefix.allocated:
             # This group computes the prefix: pin its leading blocks.
             head = table[:prefix.get_num_blocks()]
             for blk in head:
-                self.device_pool.retain(blk)
+                self._dev(blk).retain(blk)
             prefix.set_block_table(head)
 
         for s in seq_group.get_seqs(status=SequenceStatus.WAITING):
@@ -178,6 +226,10 @@ class BlockSpaceManager:
         # the speculative-lookahead blocks when spec decoding).
         per_seq = 1 + -(-lookahead // self.block_size)
         running = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        if self.sp_size > 1:
+            # A fresh block may land on any shard; be conservative.
+            return running * per_seq <= min(
+                p.available() for p in self.device_pools)
         return running * per_seq <= self.device_pool.available()
 
     def append_slot(self, seq: Sequence,
@@ -192,22 +244,27 @@ class BlockSpaceManager:
                 if (self.ring_blocks is not None
                         and len(table) >= self.ring_blocks):
                     table.append(table[len(table) % self.ring_blocks])
+                elif self.sp_size > 1:
+                    table.append(self.device_pools[
+                        len(table) % self.sp_size].acquire())
                 else:
                     table.append(self.device_pool.acquire())
             return None
         tail = table[-1]
-        if self.device_pool.refs(tail) == 1:
+        if self._dev(tail).refs(tail) == 1:
             return None
-        # Tail block aliased by a sibling: copy-on-write.
-        fresh = self.device_pool.acquire()
+        # Tail block aliased by a sibling: copy-on-write (the fresh
+        # block comes from the same shard so the table's logical->shard
+        # invariant holds under sp).
+        fresh = self._dev(tail).acquire()
         table[-1] = fresh
-        self.device_pool.release(tail)
+        self._dev(tail).release(tail)
         return tail, fresh
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         src = self._tables[parent_seq.seq_id].blocks
         for blk in set(src):
-            self.device_pool.retain(blk)
+            self._dev(blk).retain(blk)
         self._tables[child_seq.seq_id] = _SeqTable(blocks=list(src))
 
     # ---- swapping --------------------------------------------------------
@@ -226,6 +283,11 @@ class BlockSpaceManager:
         return len(moved - pinned)
 
     def can_swap_out(self, seq_group: SequenceGroup) -> bool:
+        if self.sp_size > 1:
+            # Swapping an sp-sharded pool would need per-shard host
+            # pools + shard-preserving swap-in; out of scope — the
+            # scheduler falls back to RECOMPUTE preemption.
+            return False
         return self._swap_footprint(seq_group) <= self.host_pool.available()
 
     def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
@@ -305,12 +367,12 @@ class BlockSpaceManager:
     def _drop_table(self, entry: _SeqTable) -> None:
         if entry.on_host:
             for blk in set(entry.blocks[:entry.pinned]):
-                self.device_pool.release(blk)
+                self._dev(blk).release(blk)
             for blk in set(entry.blocks[entry.pinned:]):
                 self.host_pool.release(blk)
         else:
             for blk in set(entry.blocks):
-                self.device_pool.release(blk)
+                self._dev(blk).release(blk)
 
     def free(self, seq: Sequence) -> None:
         entry = self._tables.pop(seq.seq_id, None)
@@ -328,6 +390,8 @@ class BlockSpaceManager:
         return list(self._tables[seq.seq_id].blocks)
 
     def get_num_free_gpu_blocks(self) -> int:
+        if self.sp_size > 1:
+            return sum(p.available() for p in self.device_pools)
         return self.device_pool.available()
 
     def get_num_free_cpu_blocks(self) -> int:

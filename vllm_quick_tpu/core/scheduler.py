@@ -140,6 +140,7 @@ class Scheduler:
         scheduler_config: SchedulerConfig,
         cache_config: CacheConfig,
         lora_config: Optional[LoRAConfig] = None,
+        sp_size: int = 1,
     ) -> None:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
@@ -162,6 +163,7 @@ class Scheduler:
             num_gpu_blocks=cache_config.num_gpu_blocks,
             num_cpu_blocks=cache_config.num_cpu_blocks,
             sliding_window=cache_config.sliding_window,
+            sp_size=sp_size,
         )
         self.prefix_pool = PrefixPool(cache_config.block_size)
 
@@ -527,6 +529,12 @@ class Scheduler:
             if not self.block_manager.can_swap_out(group):
                 # Fail fast, like the reference: nothing recoverable
                 # can happen once host swap space is exhausted.
+                if self.block_manager.sp_size > 1:
+                    raise RuntimeError(
+                        "Multi-candidate preemption requires swap, "
+                        "which the sp-sharded KV pool does not "
+                        "support; lower concurrency or use best_of=1 "
+                        "under --sequence-parallel-size > 1.")
                 raise RuntimeError(
                     "Host swap space exhausted while preempting; "
                     "increase --swap-space.")

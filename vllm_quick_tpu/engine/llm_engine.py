@@ -83,17 +83,34 @@ class LLMEngine:
         self.seq_counter = Counter()
         self._init_tokenizer()
 
+        sp = getattr(parallel_config, "sequence_parallel_size", 1)
+        if sp > 1:
+            if lora_config is not None:
+                raise ValueError("LoRA + sequence parallelism is "
+                                 "unsupported")
+            if getattr(scheduler_config, "speculative_model", None):
+                raise ValueError("speculative decoding + sequence "
+                                 "parallelism is unsupported")
+            if getattr(scheduler_config, "enable_chunked_prefill",
+                       False):
+                raise ValueError("chunked prefill + sequence "
+                                 "parallelism is unsupported (sp "
+                                 "already splits the prompt across "
+                                 "chips)")
         ctx = ParallelContext(
             tp_size=parallel_config.tensor_parallel_size,
             dp_size=parallel_config.data_parallel_size,
             ep_size=parallel_config.expert_parallel_size,
+            sp_size=sp,
         )
         mesh = None
         if parallel_config.world_size > 1:
             mesh = make_mesh(
                 tensor_parallel_size=parallel_config.tensor_parallel_size,
                 data_parallel_size=parallel_config.data_parallel_size,
-                expert_parallel_size=parallel_config.expert_parallel_size)
+                expert_parallel_size=parallel_config.expert_parallel_size,
+                sequence_parallel_size=getattr(
+                    parallel_config, "sequence_parallel_size", 1))
         if getattr(scheduler_config, "speculative_model", None):
             from vllm_quick_tpu.worker.spec_decode.spec_worker import (
                 SpecDecodeWorker)
@@ -134,8 +151,10 @@ class LLMEngine:
                 "single-step decode.", scheduler_config.num_decode_steps)
             scheduler_config.num_decode_steps = 1
 
-        self.scheduler = Scheduler(scheduler_config, cache_config,
-                                   lora_config)
+        self.scheduler = Scheduler(
+            scheduler_config, cache_config, lora_config,
+            sp_size=getattr(parallel_config, "sequence_parallel_size",
+                            1))
         self.stat_logger = StatLogger(
             local_interval=_LOCAL_LOGGING_INTERVAL_SEC,
             labels=dict(model_name=model_config.model)) \
@@ -186,6 +205,11 @@ class LLMEngine:
                 ") is larger than the maximum number of tokens that can be "
                 f"stored in the KV cache ({max_seq_len}). Increase "
                 "gpu_memory_utilization or decrease max_model_len.")
+        sp = getattr(self.parallel_config, "sequence_parallel_size", 1)
+        if sp > 1:
+            # The sp-sharded pool is shard-major with a per-shard null
+            # block; round the total down to an sp multiple.
+            num_tpu_blocks -= num_tpu_blocks % sp
         self.cache_config.num_gpu_blocks = num_tpu_blocks
         self.cache_config.num_cpu_blocks = num_cpu_blocks
         self.worker.init_cache_engine(self.cache_config)
@@ -236,7 +260,17 @@ class LLMEngine:
         seq = Sequence(seq_id, prompt, prompt_token_ids, block_size,
                        lora_request)
         prefix = None
+        if (sampling_params.prompt_logprobs is not None
+                and getattr(self.parallel_config,
+                            "sequence_parallel_size", 1) > 1):
+            raise ValueError("prompt_logprobs (echo) is unsupported "
+                             "under sequence parallelism")
         if prefix_pos is not None:
+            if getattr(self.parallel_config, "sequence_parallel_size",
+                       1) > 1:
+                raise ValueError(
+                    "prefix caching is unsupported under sequence "
+                    "parallelism")
             prefix = self.scheduler.prefix_pool.add_or_get_prefix(
                 prompt_token_ids[:prefix_pos])
         seq_group = SequenceGroup(request_id, [seq], sampling_params,

@@ -234,6 +234,7 @@ def make_sp_sharded_step(
     tp_axis: str = TP_AXIS,
     sp_axis: str = "sp",
     donate_caches: bool = True,
+    replicated_out: bool = False,
 ) -> Callable:
     """Context-parallel (sp) step: the sequence (prefill) or block pool
     (decode) shards over ``sp_axis``; params/weights replicate over sp
@@ -262,7 +263,10 @@ def make_sp_sharded_step(
         in_specs = (param_specs, seq, seq, cache,
                     InputMetadata(is_prompt=True, slot_mapping=seq,
                                   prompt_lens=P()), P())
-        out_specs = (P(sp_axis), cache)
+        # ``replicated_out``: the raw step psum-selects the owner
+        # rank's logits itself (engine path), so outputs replicate;
+        # default returns per-rank rows stacked [sp*B, V].
+        out_specs = (P() if replicated_out else P(sp_axis), cache)
         fn = raw_step
     else:
         stacked = P(sp_axis)

@@ -123,8 +123,20 @@ class CacheEngine:
             if self.tp_size > 1 else local_kv_heads
 
         self.block_size = cache_config.block_size
-        # +1: physical block 0 is the null/pad block (ops/cache_ops.py).
-        self.num_device_blocks = cache_config.num_gpu_blocks + 1
+        self.sp_size = getattr(parallel_config, "sequence_parallel_size",
+                               1)
+        if self.sp_size > 1:
+            # sp-sharded pool: local block 0 of EACH shard is that
+            # shard's null/pad block (ids are shard-major; the block
+            # manager's per-shard pools start at local 1), so the
+            # array row count is exactly num_gpu_blocks.
+            assert cache_config.num_gpu_blocks % self.sp_size == 0, (
+                cache_config.num_gpu_blocks, self.sp_size)
+            self.num_device_blocks = cache_config.num_gpu_blocks
+        else:
+            # +1: physical block 0 is the null/pad block
+            # (ops/cache_ops.py).
+            self.num_device_blocks = cache_config.num_gpu_blocks + 1
         self.num_cpu_blocks = cache_config.num_cpu_blocks
 
         if cache_config.cache_dtype == "auto":
@@ -146,10 +158,14 @@ class CacheEngine:
 
     def _allocate_device(self, num_blocks: int) -> List[KVCache]:
         shape = self._shape(num_blocks)
-        if self.mesh is not None and self.tp_size > 1:
+        if self.mesh is not None and (self.tp_size > 1
+                                      or self.sp_size > 1):
             from jax.sharding import NamedSharding
             from vllm_quick_tpu.parallel.sharding import kv_cache_pspec
-            sharding = NamedSharding(self.mesh, kv_cache_pspec())
+            sharding = NamedSharding(
+                self.mesh,
+                kv_cache_pspec(sp_axis="sp" if self.sp_size > 1
+                               else None))
             make = lambda: jnp.zeros(shape, dtype=self.dtype,
                                      device=sharding)
         else:

@@ -101,10 +101,15 @@ class ModelRunner:
                 self.params, self.model, self.lora_config,
                 dtype=self.model_config.dtype, mesh=self.mesh)
 
-        world = self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
+        world = (self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
+                 * self.ctx.sp_size)
         self._world = world
         self._fused_step = None
-        if world > 1:
+        self._sp_prefill_step = None
+        self._sp_decode_step = None
+        if self.ctx.sp_size > 1:
+            self._build_sp_steps(_step)
+        elif world > 1:
             from vllm_quick_tpu.parallel.sharding import (
                 make_sharded_step, param_pspecs)
             specs = param_pspecs(self.params)
@@ -130,6 +135,47 @@ class ModelRunner:
             self._fused_step = jax.jit(
                 _step_sample, donate_argnums=(3,),
                 static_argnames=("flags_key",))
+
+    def _build_sp_steps(self, _step) -> None:
+        """Context-parallel (sp x tp) execution programs. Prefill:
+        sequence block-strided over sp ranks (ring attention inside the
+        model), with an in-graph owner-select psum so the last-token
+        logits come out replicated; decode: per-shard stacked block
+        tables/context (sp-sharded pool partial attention + LSE
+        combine in the model). See docs/distributed.md."""
+        import jax.numpy as jnp_
+        from vllm_quick_tpu.parallel.sharding import (make_sp_sharded_step,
+                                                      param_pspecs)
+        specs = param_pspecs(self.params)
+        self._param_specs = specs
+        model = self.model
+        sp = self.ctx.sp_size
+        sp_axis = self.ctx.sp_axis
+        bs = self.block_size
+
+        def _sp_prefill(params, input_ids, positions, kv_caches, meta,
+                        prompt_lens):
+            hidden, new_caches = model.forward(params, input_ids,
+                                               positions, kv_caches,
+                                               meta)
+            p_star = jnp_.maximum(prompt_lens - 1, 0)        # [B]
+            owner = (p_star // bs) % sp                      # strided
+            r = jax.lax.axis_index(sp_axis)
+            hit = positions == p_star[:, None]               # [B, Tl]
+            idx = jnp_.argmax(hit, axis=1)
+            h = jnp_.take_along_axis(hidden, idx[:, None, None],
+                                     axis=1)[:, 0]
+            logits = model.compute_logits(params, h)
+            logits = jnp_.where((owner == r)[:, None], logits, 0.0)
+            return jax.lax.psum(logits, sp_axis), new_caches
+
+        self._sp_prefill_step = make_sp_sharded_step(
+            _sp_prefill, self.mesh, specs, is_prompt=True,
+            tp_axis=self.ctx.tp_axis, sp_axis=sp_axis,
+            replicated_out=True)
+        self._sp_decode_step = make_sp_sharded_step(
+            _step, self.mesh, specs, is_prompt=False,
+            tp_axis=self.ctx.tp_axis, sp_axis=sp_axis)
 
     def _get_echo_step(self, k: int):
         """Prefill step variant that additionally returns all-position
@@ -290,7 +336,51 @@ class ModelRunner:
             block_tables=block_tables,
             lora_indices=lora_indices,
         )
+        if self.ctx.sp_size > 1:
+            assert block_tables is None and lora_indices is None, (
+                "prefix caching / LoRA are unsupported under sp")
+            ids, pos, meta = self._spify_prompt(ids, pos, slots,
+                                                prompt_lens)
         return ids, pos, meta, prompt_lens
+
+    def _spify_prompt(self, ids, pos, slots, prompt_lens):
+        """Block-strided sp layout for a prompt batch: permute the
+        token axis so rank r's contiguous slice holds the tokens of
+        logical blocks r, r+sp, ... (the allocator placed those blocks
+        on shard r); convert slots from global pool ids to shard-local
+        ones; push pad positions beyond every prompt so the ring mask
+        kills them."""
+        sp = self.ctx.sp_size
+        s = self.block_size
+        nbl = self.cache_config.num_gpu_blocks // sp
+        b, lmax = ids.shape
+        extra = (-lmax) % (sp * s)
+        if extra:
+            ids = np.pad(ids, ((0, 0), (0, extra)))
+            pos = np.pad(pos, ((0, 0), (0, extra)))
+            slots = np.pad(slots, ((0, 0), (0, extra)))
+            lmax += extra
+        # Pad entries (per row, beyond the prompt): position past every
+        # prompt; slot -> the local null block.
+        col = np.arange(lmax)[None, :]
+        pad = col >= prompt_lens[:, None]
+        pos = np.where(pad, lmax, pos)
+        slots = np.where(pad, 0, slots)
+        # Global slot -> shard-local slot.
+        gblk = slots // s
+        local = (gblk - (gblk // nbl) * nbl) * s + slots % s
+        slots = np.where(pad, 0, local).astype(np.int32)
+        # Strided permutation: token p belongs to rank (p//s) % sp.
+        perm = np.concatenate([
+            np.concatenate([np.arange(j * s, (j + 1) * s)
+                            for j in range(lmax // s)
+                            if j % sp == r]) for r in range(sp)])
+        meta = InputMetadata(
+            is_prompt=True,
+            slot_mapping=slots[:, perm],
+            prompt_lens=prompt_lens,
+        )
+        return ids[:, perm], pos[:, perm].astype(np.int32), meta
 
     def _prepare_decode(
         self, metas: List[SequenceGroupMetadata]
@@ -340,7 +430,57 @@ class ModelRunner:
         )
         ids_arr = np.asarray(ids + [0] * pad, np.int32)
         pos_arr = np.asarray(pos + [0] * pad, np.int32)
+        if self.ctx.sp_size > 1:
+            assert lora_indices is None, "LoRA is unsupported under sp"
+            meta = self._spify_decode(meta)
         return ids_arr, pos_arr, meta, np.zeros(b, np.int32)
+
+    def _spify_decode(self, meta: InputMetadata) -> InputMetadata:
+        """Per-shard stacked views of the decode metadata for the
+        sp-sharded pool: shard r's local block table keeps the
+        sequence's logical blocks that live on r (logical i on shard
+        i % sp by allocation), its context length counts only their
+        valid tokens (a per-shard prefix by construction), and the new
+        token's slot points at the owner shard's block — everyone else
+        writes their local null block 0."""
+        sp = self.ctx.sp_size
+        s = self.block_size
+        nbl = self.cache_config.num_gpu_blocks // sp
+        bt = np.asarray(meta.block_tables)          # [B, MB] global
+        ctx = np.asarray(meta.context_lens)         # [B]
+        b, mb = bt.shape
+        mb_local = pad_to_bucket(-(-mb // sp), _BLOCK_TABLE_BUCKETS)
+
+        bt_l = np.zeros((sp, b, mb_local), np.int32)
+        cl_l = np.zeros((sp, b), np.int32)
+        sl_l = np.zeros((sp, b), np.int32)
+        logical = np.arange(mb)
+        for i in range(b):
+            c = int(ctx[i])
+            if c == 0:
+                continue
+            n_log = -(-c // s)
+            row = bt[i, :n_log]
+            for r in range(sp):
+                sel = row[logical[:n_log] % sp == r]
+                bt_l[r, i, :len(sel)] = sel - r * nbl
+                # Tokens on shard r: full blocks + the partial tail if
+                # the last logical block is r's.
+                full = np.arange(n_log) % sp == r
+                toks = int(full[:n_log - 1].sum()) * s
+                if full[n_log - 1]:
+                    toks += c - (n_log - 1) * s
+                cl_l[r, i] = toks
+            owner_blk = int(row[n_log - 1])
+            owner = owner_blk // nbl
+            sl_l[owner, i] = ((owner_blk - owner * nbl) * s
+                              + (c - 1) % s)
+        return InputMetadata(
+            is_prompt=False,
+            slot_mapping=sl_l,
+            context_lens=cl_l,
+            block_tables=bt_l,
+        )
 
     # -- execution ---------------------------------------------------------
 
@@ -403,6 +543,17 @@ class ModelRunner:
             lora_indices=payload.get("lora_indices"),
         )
         echo_k = int(payload.get("echo_k", 0))
+        if self.ctx.sp_size > 1:
+            if echo_k:
+                raise ValueError(
+                    "prompt_logprobs (echo) is unsupported under "
+                    "sequence parallelism")
+            step = (self._sp_prefill_step if meta.is_prompt
+                    else self._sp_decode_step)
+            logits, kv_caches = step(
+                self.params, payload["ids"], payload["pos"], kv_caches,
+                meta, payload["prompt_lens"])
+            return logits, kv_caches, None
         if echo_k:
             step = self._get_echo_step(echo_k)
             logits, kv_caches, extras = step(
