@@ -42,3 +42,30 @@ def test_sp_engine_matches_plain_greedy(model_dir, sp, tp):
     out_tokens = [o.outputs[0].token_ids for o in out]
 
     assert out_tokens == ref_tokens
+
+
+def test_sp_engine_beam_search_matches_plain(model_dir):
+    """Beam search forks candidates post-prefill and triggers
+    copy-on-write on the shared tail block — under sp the fresh block
+    must come from the same shard. Outputs must match the plain
+    engine exactly."""
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(3, 500, size=40).tolist()]
+    sp_params = SamplingParams(max_tokens=8, temperature=0.0,
+                               use_beam_search=True, best_of=2,
+                               ignore_eos=True)
+
+    plain = LLM(model=model_dir, max_model_len=256, block_size=16,
+                dtype="float32")
+    ref = plain.generate(prompt_token_ids=prompts,
+                         sampling_params=sp_params, use_tqdm=False)
+    ref_tokens = sorted(tuple(o.token_ids) for o in ref[0].outputs)
+    del plain
+
+    sp_llm = LLM(model=model_dir, max_model_len=256, block_size=16,
+                 dtype="float32", sequence_parallel_size=4)
+    out = sp_llm.generate(prompt_token_ids=prompts,
+                          sampling_params=sp_params, use_tqdm=False)
+    out_tokens = sorted(tuple(o.token_ids) for o in out[0].outputs)
+
+    assert out_tokens == ref_tokens
