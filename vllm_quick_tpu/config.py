@@ -275,7 +275,9 @@ class ParallelConfig:
     def _verify_args(self) -> None:
         if self.pipeline_parallel_size > 1:
             raise NotImplementedError(
-                "Pipeline parallelism is not supported yet.")
+                "Pipeline parallelism is available at the sharded-step "
+                "level (parallel/pipeline.py make_pp_sharded_step) but "
+                "not wired into the serving engine yet.")
         if self.sequence_parallel_size > 1 and (
                 self.data_parallel_size > 1
                 or self.expert_parallel_size > 1):
@@ -284,12 +286,13 @@ class ParallelConfig:
 
     @property
     def mesh_shape(self):
-        return (self.data_parallel_size, self.expert_parallel_size,
-                self.sequence_parallel_size, self.tensor_parallel_size)
+        return (self.data_parallel_size, self.pipeline_parallel_size,
+                self.expert_parallel_size, self.sequence_parallel_size,
+                self.tensor_parallel_size)
 
     @property
     def mesh_axis_names(self):
-        return ("dp", "ep", "sp", "tp")
+        return ("dp", "pp", "ep", "sp", "tp")
 
 
 class SchedulerConfig:

@@ -154,6 +154,27 @@ class GenericDecoder:
         h = self._norm(h, params["final_norm"])
         return h, new_caches
 
+    # -- pipeline-parallel stage hooks (parallel/pipeline.py) --------------
+
+    def pp_prologue(self, params, input_ids, positions):
+        h = embed(params["embed"], input_ids, self.ctx)
+        if self.embed_ln:
+            h = self._norm(h, params["embed_ln"])
+        if self.pos_mode == "learned":
+            h = h + params["pos_embed"][positions + self.pos_offset]
+        alibi = params.get("alibi_slopes")
+        if alibi is not None:
+            self.attn.alibi_slopes = alibi
+        return (h,)
+
+    def pp_layer(self, layer, state, positions, kv_cache, meta):
+        h, kv_cache = self._layer(layer, state[0], positions, kv_cache,
+                                  meta)
+        return (h,), kv_cache
+
+    def pp_epilogue(self, params, state):
+        return self._norm(state[0], params["final_norm"])
+
     def _layer(self, layer, h, positions, kv_cache, meta):
         li = meta.lora_indices
         x = self._norm(h, layer["ln1"])

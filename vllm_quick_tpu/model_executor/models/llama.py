@@ -198,6 +198,39 @@ class LlamaForCausalLM:
         # The last call's first output is the final-norm hidden.
         return qkv, new_caches
 
+    # -- pipeline-parallel stage hooks (parallel/pipeline.py) --------------
+
+    def pp_prologue(self, params, input_ids, positions):
+        """Stage-0 work; returns the carried activation state. The
+        residual starts at zeros so every layer (including the first)
+        runs the same fused_add_rms_norm program:
+        fused_add_rms_norm(h, 0) == (rms_norm(h), h)."""
+        h = embed(params["embed"], input_ids, self.ctx)
+        return (h, jnp.zeros_like(h))
+
+    def pp_layer(self, layer, state, positions, kv_cache, meta):
+        h, residual = state
+        x, residual = fused_add_rms_norm(h, residual,
+                                         layer["input_norm"],
+                                         self.rms_eps)
+        x, kv_cache = self._attention_block(layer, x, positions,
+                                            kv_cache, meta)
+        fused = self._mlp_block_norm_fused(layer, x, residual,
+                                           meta.lora_indices)
+        if fused is not None:
+            h, residual = fused
+        else:
+            x, residual = fused_add_rms_norm(x, residual,
+                                             layer["post_norm"],
+                                             self.rms_eps)
+            h = self._mlp_block(layer, x, meta.lora_indices)
+        return (h, residual), kv_cache
+
+    def pp_epilogue(self, params, state):
+        h, _ = fused_add_rms_norm(state[0], state[1],
+                                  params["final_norm"], self.rms_eps)
+        return h
+
     def _mlp_block_norm_fused(self, layer, x, residual, lora_indices):
         """Post-attention residual update + norm + MLP in one Pallas
         call (decode). Returns (h, new_residual) or None if the fused

@@ -20,7 +20,8 @@ TP_AXIS = "tp"
 DP_AXIS = "dp"
 EP_AXIS = "ep"
 SP_AXIS = "sp"
-AXIS_ORDER = (DP_AXIS, EP_AXIS, SP_AXIS, TP_AXIS)
+PP_AXIS = "pp"
+AXIS_ORDER = (DP_AXIS, PP_AXIS, EP_AXIS, SP_AXIS, TP_AXIS)
 
 
 def make_mesh(
@@ -28,28 +29,33 @@ def make_mesh(
     data_parallel_size: int = 1,
     expert_parallel_size: int = 1,
     sequence_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build (and register) the global (dp, ep, sp, tp) mesh.
+    """Build (and register) the global (dp, pp, ep, sp, tp) mesh.
 
     TP is the innermost axis so its collectives ride the fastest ICI
     links; SP (context parallelism: ring-attention prefill + partial
     paged decode, ops/ring_attention.py) sits just outside it so KV
-    rotations stay on ICI; DP is outermost so request-level parallelism
+    rotations stay on ICI; PP (stage pipeline, parallel/pipeline.py)
+    exchanges only one activation tensor per microbatch tick so it
+    tolerates slow links; DP is outermost so request-level parallelism
     crosses DCN.
     """
     global _MESH
     if devices is None:
         devices = jax.devices()
     world = (tensor_parallel_size * data_parallel_size *
-             expert_parallel_size * sequence_parallel_size)
+             expert_parallel_size * sequence_parallel_size *
+             pipeline_parallel_size)
     if world > len(devices):
         raise ValueError(
             f"Requested world size {world} exceeds available devices "
             f"({len(devices)}).")
     devs = np.asarray(devices[:world]).reshape(
-        data_parallel_size, expert_parallel_size,
-        sequence_parallel_size, tensor_parallel_size)
+        data_parallel_size, pipeline_parallel_size,
+        expert_parallel_size, sequence_parallel_size,
+        tensor_parallel_size)
     _MESH = Mesh(devs, AXIS_ORDER)
     return _MESH
 
@@ -72,9 +78,11 @@ class ParallelContext:
     dp_size: int = 1
     ep_size: int = 1
     sp_size: int = 1
+    pp_size: int = 1
     tp_axis: str = TP_AXIS
     ep_axis: str = EP_AXIS
     sp_axis: str = SP_AXIS
+    pp_axis: str = PP_AXIS
 
     def tp_all_reduce(self, x: jax.Array) -> jax.Array:
         """Sum-reduce across TP ranks (reference:

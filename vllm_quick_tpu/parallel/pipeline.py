@@ -1,0 +1,224 @@
+"""Pipeline parallelism: layer stages over a ``pp`` mesh axis.
+
+Capability the reference explicitly rejects ("Pipeline parallelism is
+not supported yet", vllm/config.py:388-390; stage groups are built but
+unused, parallel_utils/parallel_state.py:76-86). Here PP is real and
+TPU-native: the decoder's layers are split into ``pp`` contiguous
+stages, each stage's per-layer params are stacked into arrays with a
+leading stage axis sharded over the ``pp`` mesh axis, and one jitted
+GPipe-style schedule runs all stages in SPMD lockstep — activations hop
+stage-to-stage with ``lax.ppermute`` while every rank works on a
+different microbatch, so the pipeline fills instead of serializing.
+
+Schedule (S stages, M microbatches, S + M - 1 ticks):
+
+  tick t: rank r runs its stage on microbatch ``t - r`` (clamped;
+  out-of-range ticks compute on don't-care data whose KV writes are
+  pointed at the null block and whose outputs are masked), then
+  ppermutes its activation to rank r+1. Rank 0 injects
+  ``embed(microbatch t)``; rank S-1 collects final-norm hidden rows.
+  A final ``psum`` over pp replicates the collected hidden states so
+  the logits (and the sampler above) are identical on every rank.
+
+KV caches follow their layers: each stage-slot cache is a global
+``[pp, NB, 2, H, S, D]`` array sharded P('pp', ...) — stage r owns the
+pool for its own layers, which is exactly how PP shrinks per-chip HBM
+(weights AND cache divide by ``pp``).
+
+Composes with TP (params additionally sharded over ``tp`` inside each
+stage; the per-layer psums ride ICI) and with the engine's bucketed
+static shapes. Fill/drain overhead is the usual (S-1)/(S+M-1) tax —
+pick M >= S.
+"""
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+from vllm_quick_tpu.parallel.mesh import PP_AXIS, TP_AXIS
+from vllm_quick_tpu.parallel.sharding import param_pspecs, shard_pytree
+
+
+def _is_spec(x) -> bool:
+    return isinstance(x, P)
+
+
+def split_pp_stages(params: Dict[str, Any], pp: int) -> Dict[str, Any]:
+    """Restructure ``params`` for PP: the ``layers`` list (length L,
+    uniform treedef) becomes ``pp_layers`` — L//pp stage-slot trees
+    whose leaves are stacked ``[pp, ...]`` across stages (slot j holds
+    layer ``r*(L//pp) + j`` of stage r). Everything else (embed,
+    final_norm, lm_head, ...) is kept as-is and replicated over pp.
+    """
+    layers = params["layers"]
+    num_layers = len(layers)
+    assert num_layers % pp == 0, (
+        f"num_layers={num_layers} must divide by pp={pp}")
+    lps = num_layers // pp
+    slots = []
+    for j in range(lps):
+        stage_trees = [layers[r * lps + j] for r in range(pp)]
+        slots.append(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *stage_trees))
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["pp_layers"] = slots
+    return out
+
+
+def pp_param_specs(params: Dict[str, Any], pp_params: Dict[str, Any],
+                   tp_axis: str = TP_AXIS) -> Dict[str, Any]:
+    """PartitionSpecs for ``split_pp_stages`` output: non-layer params
+    keep their param_pspecs (tp-sharded / replicated; implicitly
+    replicated over pp), stage-slot leaves get P(pp, *orig)."""
+    base = {k: v for k, v in params.items() if k != "layers"}
+    specs = param_pspecs(base, tp_axis)
+    layer_specs = param_pspecs({"layers": [params["layers"][0]]},
+                               tp_axis)["layers"][0]
+    slot_spec = jax.tree_util.tree_map(
+        lambda s: P(PP_AXIS, *s), layer_specs, is_leaf=_is_spec)
+    specs["pp_layers"] = [slot_spec] * len(pp_params["pp_layers"])
+    return specs
+
+
+def stack_pp_caches(caches: Sequence[jax.Array], pp: int) -> List[jax.Array]:
+    """Per-layer cache list (length L) -> per-stage-slot stacked list
+    (length L//pp, each [pp, NB, 2, H, S, D]); slot j of stage r holds
+    layer r*(L//pp)+j's pool."""
+    lps = len(caches) // pp
+    return [jnp.stack([caches[r * lps + j] for r in range(pp)])
+            for j in range(lps)]
+
+
+def unstack_pp_caches(stacked: Sequence[jax.Array]) -> List[jax.Array]:
+    """Inverse of stack_pp_caches (host-side; for tests)."""
+    pp = stacked[0].shape[0]
+    lps = len(stacked)
+    return [stacked[j][r] for r in range(pp) for j in range(lps)]
+
+
+def pp_cache_pspec(tp_axis: str = TP_AXIS) -> P:
+    return P(PP_AXIS, None, None, tp_axis, None, None)
+
+
+def place_pp(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    return shard_pytree(tree, specs, mesh)
+
+
+def _mb_slice(x: Optional[jax.Array], mb: jax.Array,
+              mb_size: int) -> Optional[jax.Array]:
+    if x is None:
+        return None
+    start = (mb * mb_size,) + (0,) * (x.ndim - 1)
+    return jax.lax.dynamic_slice(x, start, (mb_size,) + x.shape[1:])
+
+
+def make_pp_sharded_step(
+    model,
+    mesh: Mesh,
+    param_specs: Dict[str, Any],
+    pp: int,
+    num_microbatches: int,
+    is_prompt: bool,
+    tp_axis: str = TP_AXIS,
+    donate_caches: bool = True,
+) -> Callable:
+    """Build the jitted PP serving step.
+
+    Signature matches the other sharded steps:
+    ``step(params, ids, positions, caches, meta, prompt_lens)
+    -> (logits [B, V], caches)`` where ``caches`` is the
+    ``stack_pp_caches`` list and B = num_microbatches * mb_size.
+    Inputs replicate over pp (every rank sees the whole batch and
+    slices its current microbatch); logits replicate on exit.
+    """
+    assert num_microbatches >= 1
+
+    def body(params, ids, positions, caches, meta, prompt_lens):
+        rank = jax.lax.axis_index(PP_AXIS)
+        stage_layers = [jax.tree_util.tree_map(lambda x: x[0], t)
+                        for t in params["pp_layers"]]
+        local_caches = [c[0] for c in caches]
+
+        batch = ids.shape[0]
+        assert batch % num_microbatches == 0, (batch, num_microbatches)
+        mb_size = batch // num_microbatches
+        n_ticks = pp + num_microbatches - 1
+        zero = jnp.int32(0)
+
+        # Shape probe for the carried activation state (XLA CSEs this
+        # against tick 0's real prologue).
+        state_buf = jax.tree_util.tree_map(
+            jnp.zeros_like,
+            model.pp_prologue(params, _mb_slice(ids, zero, mb_size),
+                              _mb_slice(positions, zero, mb_size)))
+        out_acc = jnp.zeros((num_microbatches, mb_size,
+                             model.hidden_size),
+                            params["embed"].dtype)
+
+        for t in range(n_ticks):
+            mb = t - rank
+            valid = (mb >= 0) & (mb < num_microbatches)
+            mbc = jnp.clip(mb, 0, num_microbatches - 1)
+
+            ids_mb = _mb_slice(ids, mbc, mb_size)
+            pos_mb = _mb_slice(positions, mbc, mb_size)
+            slots_mb = _mb_slice(meta.slot_mapping, mbc, mb_size)
+            # Don't-care ticks write their K/V to the null block.
+            slots_mb = jnp.where(valid, slots_mb,
+                                 jnp.zeros_like(slots_mb))
+            meta_mb = dataclasses.replace(
+                meta,
+                slot_mapping=slots_mb,
+                prompt_lens=_mb_slice(meta.prompt_lens, mbc, mb_size),
+                context_lens=_mb_slice(meta.context_lens, mbc, mb_size),
+                block_tables=_mb_slice(meta.block_tables, mbc, mb_size),
+                lora_indices=None)
+
+            state0 = model.pp_prologue(params, ids_mb, pos_mb)
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(rank == 0, a, b), state0,
+                state_buf)
+
+            for j, layer in enumerate(stage_layers):
+                state, new_cache = model.pp_layer(
+                    layer, state, pos_mb, local_caches[j], meta_mb)
+                local_caches[j] = new_cache
+
+            # Last-stage epilogue: final norm (+ last-token select).
+            hl = model.pp_epilogue(params, state)
+            if is_prompt:
+                idx = jnp.maximum(meta_mb.prompt_lens - 1, 0)
+                hl = jnp.take_along_axis(
+                    hl, idx[:, None, None], axis=1)[:, 0]
+            emit = valid & (rank == pp - 1)
+            cur = jax.lax.dynamic_slice_in_dim(out_acc, mbc, 1, 0)[0]
+            row = jnp.where(emit, hl.astype(out_acc.dtype), cur)
+            out_acc = jax.lax.dynamic_update_slice_in_dim(
+                out_acc, row[None], mbc, 0)
+
+            if pp > 1 and t < n_ticks - 1:
+                state_buf = jax.tree_util.tree_map(
+                    lambda a: jax.lax.ppermute(
+                        a, PP_AXIS,
+                        [(i, (i + 1) % pp) for i in range(pp)]),
+                    state)
+
+        # Only rank pp-1 accumulated; replicate to all pp ranks.
+        hidden = jax.lax.psum(out_acc, PP_AXIS).reshape(
+            batch, model.hidden_size)
+        logits = model.compute_logits(params, hidden)
+        return logits, [lc[None] for lc in local_caches]
+
+    cache_spec = pp_cache_pspec(tp_axis)
+    meta_spec = InputMetadata(is_prompt=is_prompt, slot_mapping=P(),
+                              prompt_lens=P(), context_lens=P(),
+                              block_tables=P(), lora_indices=P())
+    in_specs = (param_specs, P(), P(), cache_spec, meta_spec, P())
+    out_specs = (P(), cache_spec)
+    step = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    donate = (3,) if donate_caches else ()
+    return jax.jit(step, donate_argnums=donate)
