@@ -274,10 +274,18 @@ class ParallelConfig:
 
     def _verify_args(self) -> None:
         if self.pipeline_parallel_size > 1:
-            raise NotImplementedError(
-                "Pipeline parallelism is available at the sharded-step "
-                "level (parallel/pipeline.py make_pp_sharded_step) but "
-                "not wired into the serving engine yet.")
+            # (The reference rejects pp entirely, config.py:388-390.)
+            pp = self.pipeline_parallel_size
+            if pp & (pp - 1):
+                raise ValueError(
+                    "pipeline_parallel_size must be a power of two "
+                    "(batch buckets split into pp microbatches)")
+            if (self.data_parallel_size > 1
+                    or self.expert_parallel_size > 1
+                    or self.sequence_parallel_size > 1):
+                raise NotImplementedError(
+                    "pipeline parallelism currently composes with tp "
+                    "only")
         if self.sequence_parallel_size > 1 and (
                 self.data_parallel_size > 1
                 or self.expert_parallel_size > 1):

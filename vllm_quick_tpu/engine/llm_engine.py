@@ -97,11 +97,24 @@ class LLMEngine:
                                  "parallelism is unsupported (sp "
                                  "already splits the prompt across "
                                  "chips)")
+        pp = getattr(parallel_config, "pipeline_parallel_size", 1)
+        if pp > 1:
+            if lora_config is not None:
+                raise ValueError("LoRA + pipeline parallelism is "
+                                 "unsupported")
+            if getattr(scheduler_config, "speculative_model", None):
+                raise ValueError("speculative decoding + pipeline "
+                                 "parallelism is unsupported")
+            if getattr(scheduler_config, "enable_chunked_prefill",
+                       False):
+                raise ValueError("chunked prefill + pipeline "
+                                 "parallelism is unsupported")
         ctx = ParallelContext(
             tp_size=parallel_config.tensor_parallel_size,
             dp_size=parallel_config.data_parallel_size,
             ep_size=parallel_config.expert_parallel_size,
             sp_size=sp,
+            pp_size=pp,
         )
         mesh = None
         if parallel_config.world_size > 1:
@@ -110,7 +123,8 @@ class LLMEngine:
                 data_parallel_size=parallel_config.data_parallel_size,
                 expert_parallel_size=parallel_config.expert_parallel_size,
                 sequence_parallel_size=getattr(
-                    parallel_config, "sequence_parallel_size", 1))
+                    parallel_config, "sequence_parallel_size", 1),
+                pipeline_parallel_size=pp)
         if getattr(scheduler_config, "speculative_model", None):
             from vllm_quick_tpu.worker.spec_decode.spec_worker import (
                 SpecDecodeWorker)
@@ -260,16 +274,25 @@ class LLMEngine:
         seq = Sequence(seq_id, prompt, prompt_token_ids, block_size,
                        lora_request)
         prefix = None
-        if (sampling_params.prompt_logprobs is not None
-                and getattr(self.parallel_config,
-                            "sequence_parallel_size", 1) > 1):
-            raise ValueError("prompt_logprobs (echo) is unsupported "
-                             "under sequence parallelism")
+        if sampling_params.prompt_logprobs is not None:
+            if getattr(self.parallel_config,
+                       "sequence_parallel_size", 1) > 1:
+                raise ValueError("prompt_logprobs (echo) is unsupported "
+                                 "under sequence parallelism")
+            if getattr(self.parallel_config,
+                       "pipeline_parallel_size", 1) > 1:
+                raise ValueError("prompt_logprobs (echo) is unsupported "
+                                 "under pipeline parallelism")
         if prefix_pos is not None:
             if getattr(self.parallel_config, "sequence_parallel_size",
                        1) > 1:
                 raise ValueError(
                     "prefix caching is unsupported under sequence "
+                    "parallelism")
+            if getattr(self.parallel_config, "pipeline_parallel_size",
+                       1) > 1:
+                raise ValueError(
+                    "prefix caching is unsupported under pipeline "
                     "parallelism")
             prefix = self.scheduler.prefix_pool.add_or_get_prefix(
                 prompt_token_ids[:prefix_pos])

@@ -51,15 +51,19 @@ def _copy_blocks_jit(caches, src, dst):
 
     Pairs are padded with (0, 0): copying the null block onto itself is
     a no-op. The dus chain preserves read-after-write order for chained
-    copies (csrc/cache_kernels.cu:66-153 analogue).
+    copies (csrc/cache_kernels.cu:66-153 analogue). Pipeline-parallel
+    stacked pools [pp, NB, ...] copy on axis 1 — the same block ids
+    apply to every stage (block tables are layer-agnostic).
     """
     p = src.shape[0]
     out = []
     for cache in caches:
+        ax = 1 if cache.ndim == 6 else 0
+
         def body(i, c):
-            blk = jax.lax.dynamic_slice_in_dim(c, src[i], 1, axis=0)
+            blk = jax.lax.dynamic_slice_in_dim(c, src[i], 1, axis=ax)
             return jax.lax.dynamic_update_slice_in_dim(c, blk, dst[i],
-                                                       axis=0)
+                                                       axis=ax)
         if p <= 16:
             for i in range(p):
                 cache = body(i, cache)
@@ -71,18 +75,20 @@ def _copy_blocks_jit(caches, src, dst):
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _insert_blocks_jit(caches, blocks, dst):
-    """Insert host-gathered blocks [P, 2, H, S, D] per layer into the
-    donated device pool at block indices ``dst`` (swap-in device half).
-    Padding pairs carry dst=0 (null block)."""
+    """Insert host-gathered blocks [P, 2, H, S, D] per layer (stacked
+    [pp, P, ...] per stage-slot under pp) into the donated device pool
+    at block indices ``dst`` (swap-in device half). Padding pairs carry
+    dst=0 (null block)."""
     p = dst.shape[0]
     out = []
     for cache, blk in zip(caches, blocks):
         blk = blk.astype(cache.dtype)
+        ax = 1 if cache.ndim == 6 else 0
 
         def body(i, c):
-            one = jax.lax.dynamic_slice_in_dim(blk, i, 1, axis=0)
+            one = jax.lax.dynamic_slice_in_dim(blk, i, 1, axis=ax)
             return jax.lax.dynamic_update_slice_in_dim(c, one, dst[i],
-                                                       axis=0)
+                                                       axis=ax)
         if p <= 16:
             for i in range(p):
                 cache = body(i, cache)
@@ -94,10 +100,12 @@ def _insert_blocks_jit(caches, blocks, dst):
 
 @jax.jit
 def _gather_blocks_jit(caches, src):
-    """Gather blocks [P, 2, H, S, D] per layer from the device pool
-    (swap-out device half). A gather output is small; no donation
-    needed — the pool itself is untouched."""
-    return [jnp.take(cache, src, axis=0) for cache in caches]
+    """Gather blocks [P, 2, H, S, D] per layer ([pp, P, ...] per
+    stage-slot under pp) from the device pool (swap-out device half).
+    A gather output is small; no donation needed — the pool itself is
+    untouched."""
+    return [jnp.take(cache, src, axis=1 if cache.ndim == 6 else 0)
+            for cache in caches]
 
 
 class CacheEngine:
@@ -125,6 +133,11 @@ class CacheEngine:
         self.block_size = cache_config.block_size
         self.sp_size = getattr(parallel_config, "sequence_parallel_size",
                                1)
+        # Under pp, get_num_layers already returns layers-per-stage
+        # (config.py:167-169, reference semantics) — the stage-slot
+        # count of the stacked pool lists.
+        self.pp_size = getattr(parallel_config, "pipeline_parallel_size",
+                               1)
         if self.sp_size > 1:
             # sp-sharded pool: local block 0 of EACH shard is that
             # shard's null/pad block (ids are shard-major; the block
@@ -146,11 +159,21 @@ class CacheEngine:
 
         self.device_cache = self._allocate_device(self.num_device_blocks)
         # Host swap pool: plain numpy — in-place writes by construction.
-        self.host_cache: List[np.ndarray] = [
-            np.zeros(self._shape(self.num_cpu_blocks),
-                     dtype=jnp.dtype(self.dtype))
-            for _ in range(self.num_layers)
-        ]
+        # Under pp it mirrors the device structure (stage-slot stacked)
+        # so swap code indexes both sides identically.
+        if self.pp_size > 1:
+            self.host_cache: List[np.ndarray] = [
+                np.zeros((self.pp_size,)
+                         + self._shape(self.num_cpu_blocks),
+                         dtype=jnp.dtype(self.dtype))
+                for _ in range(self.num_layers)
+            ]
+        else:
+            self.host_cache = [
+                np.zeros(self._shape(self.num_cpu_blocks),
+                         dtype=jnp.dtype(self.dtype))
+                for _ in range(self.num_layers)
+            ]
 
     def _shape(self, num_blocks: int) -> Tuple[int, ...]:
         return (num_blocks, 2, self.num_kv_heads, self.block_size,
@@ -158,6 +181,16 @@ class CacheEngine:
 
     def _allocate_device(self, num_blocks: int) -> List[KVCache]:
         shape = self._shape(num_blocks)
+        if self.pp_size > 1:
+            # Stage-slot stacked pools [pp, NB, 2, H, S, D] sharded
+            # over the pp mesh axis (parallel/pipeline.py): stage r
+            # holds the pool rows for its own layers.
+            from jax.sharding import NamedSharding
+            from vllm_quick_tpu.parallel.pipeline import pp_cache_pspec
+            sharding = NamedSharding(self.mesh, pp_cache_pspec())
+            return [jnp.zeros((self.pp_size,) + shape, dtype=self.dtype,
+                              device=sharding)
+                    for _ in range(self.num_layers)]
         if self.mesh is not None and (self.tp_size > 1
                                       or self.sp_size > 1):
             from jax.sharding import NamedSharding
@@ -189,7 +222,8 @@ class CacheEngine:
         if not src_to_dst:
             return
         src, dst, _ = self._pad_pairs(src_to_dst)
-        blocks = [layer[src] for layer in self.host_cache]
+        blocks = [layer[:, src] if layer.ndim == 6 else layer[src]
+                  for layer in self.host_cache]
         self.device_cache = _insert_blocks_jit(self.device_cache, blocks,
                                                dst)
 
@@ -202,7 +236,10 @@ class CacheEngine:
         gathered = jax.device_get(
             _gather_blocks_jit(self.device_cache, src))
         for layer, blocks in zip(self.host_cache, gathered):
-            layer[dst[:n]] = blocks[:n]
+            if layer.ndim == 6:
+                layer[:, dst[:n]] = blocks[:, :n]
+            else:
+                layer[dst[:n]] = blocks[:n]
 
     def copy(self, src_to_dsts: Dict[int, List[int]]) -> None:
         pairs = []

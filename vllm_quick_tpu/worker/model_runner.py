@@ -102,12 +102,16 @@ class ModelRunner:
                 dtype=self.model_config.dtype, mesh=self.mesh)
 
         world = (self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
-                 * self.ctx.sp_size)
+                 * self.ctx.sp_size * self.ctx.pp_size)
         self._world = world
         self._fused_step = None
         self._sp_prefill_step = None
         self._sp_decode_step = None
-        if self.ctx.sp_size > 1:
+        self._pp_prefill_step = None
+        self._pp_decode_step = None
+        if self.ctx.pp_size > 1:
+            self._build_pp_steps()
+        elif self.ctx.sp_size > 1:
             self._build_sp_steps(_step)
         elif world > 1:
             from vllm_quick_tpu.parallel.sharding import (
@@ -135,6 +139,35 @@ class ModelRunner:
             self._fused_step = jax.jit(
                 _step_sample, donate_argnums=(3,),
                 static_argnames=("flags_key",))
+
+    def _build_pp_steps(self) -> None:
+        """Pipeline-parallel (pp x tp) execution programs: params are
+        restructured into stage-slot stacked trees sharded over the pp
+        mesh axis and the GPipe microbatch schedule
+        (parallel/pipeline.py) replaces the plain step. Batches pad to
+        a multiple of num_microbatches (= pp) in the prepare paths."""
+        from vllm_quick_tpu.parallel.pipeline import (make_pp_sharded_step,
+                                                      place_pp,
+                                                      pp_param_specs,
+                                                      split_pp_stages)
+        pp = self.ctx.pp_size
+        assert self.model.num_layers % pp == 0, (
+            f"num_layers={self.model.num_layers} must divide by "
+            f"pipeline_parallel_size={pp}")
+        # NOTE: split_pp_stages stacks the already-placed params before
+        # re-placing them pp-sharded (transient ~2x weight footprint on
+        # the default device). Large multi-chip deployments should
+        # stack host-side shards pre-placement instead.
+        pp_params = split_pp_stages(self.params, pp)
+        specs = pp_param_specs(self.params, pp_params)
+        self.params = place_pp(pp_params, specs, self.mesh)
+        self._param_specs = specs
+        self._pp_prefill_step = make_pp_sharded_step(
+            self.model, self.mesh, specs, pp, num_microbatches=pp,
+            is_prompt=True, tp_axis=self.ctx.tp_axis)
+        self._pp_decode_step = make_pp_sharded_step(
+            self.model, self.mesh, specs, pp, num_microbatches=pp,
+            is_prompt=False, tp_axis=self.ctx.tp_axis)
 
     def _build_sp_steps(self, _step) -> None:
         """Context-parallel (sp x tp) execution programs. Prefill:
@@ -294,6 +327,9 @@ class ModelRunner:
             lens.append(end - start)
 
         b = pad_to_bucket(len(metas), _PREFILL_BATCH_BUCKETS)
+        # The pp schedule slices the batch into pp microbatches (power
+        # of two, so any bucket >= pp divides evenly).
+        b = max(b, self.ctx.pp_size)
         lmax = pad_to_bucket(max(lens), _LEN_BUCKETS)
         ids = make_ndarray_with_pad(ids_list, 0, np.int32, lmax)
         pos = make_ndarray_with_pad(pos_list, 0, np.int32, lmax)
@@ -411,6 +447,7 @@ class ModelRunner:
                 block_tables.append(bt)
 
         b = pad_to_bucket(len(ids), _DECODE_BATCH_BUCKETS)
+        b = max(b, self.ctx.pp_size)
         mb = pad_to_bucket(max(len(bt) for bt in block_tables),
                            _BLOCK_TABLE_BUCKETS)
         bt_arr = make_ndarray_with_pad(block_tables, 0, np.int32, mb)
@@ -543,6 +580,17 @@ class ModelRunner:
             lora_indices=payload.get("lora_indices"),
         )
         echo_k = int(payload.get("echo_k", 0))
+        if self.ctx.pp_size > 1:
+            if echo_k:
+                raise ValueError(
+                    "prompt_logprobs (echo) is unsupported under "
+                    "pipeline parallelism")
+            step = (self._pp_prefill_step if meta.is_prompt
+                    else self._pp_decode_step)
+            logits, kv_caches = step(
+                self.params, payload["ids"], payload["pos"], kv_caches,
+                meta, payload["prompt_lens"])
+            return logits, kv_caches, None
         if self.ctx.sp_size > 1:
             if echo_k:
                 raise ValueError(

@@ -101,13 +101,18 @@ class Worker:
         # Reserve headroom for activations/jit temporaries: 10% of limit.
         budget = int(limit * gpu_memory_utilization) - used - int(
             0.10 * limit)
+        # get_cache_block_size is per-chip: under pp it counts only one
+        # stage's layers (get_num_layers divides by pp).
         num_device_blocks = max(budget // cache_block_size, 0)
         # No point allocating more blocks than the scheduler can ever
         # map: max_num_seqs concurrent sequences at max_model_len.
         max_mappable = self.scheduler_config.max_num_seqs * (
             -(-self.model_config.max_model_len // block_size))
         num_device_blocks = min(num_device_blocks, max_mappable)
-        num_cpu_blocks = int(cpu_swap_space // cache_block_size)
+        # The host swap pool holds every stage's layers, so under pp a
+        # host block costs pp x the per-chip bytes.
+        pp = getattr(self.parallel_config, "pipeline_parallel_size", 1)
+        num_cpu_blocks = int(cpu_swap_space // (cache_block_size * pp))
         num_cpu_blocks = min(num_cpu_blocks, max_mappable)
         # Multihost: every host must size the identical pool
         # (reference llm_engine.py:334 min across workers).
