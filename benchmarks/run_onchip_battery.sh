@@ -1,0 +1,88 @@
+#!/bin/bash
+# Run the full round-3 on-chip measurement battery
+# (benchmarks/ONCHIP_RUNBOOK.md) in order, appending everything to a
+# results log. Resilient: each item runs under timeout and a failure
+# does not stop the battery. Never pattern-kills — the serving step
+# tracks its exact server PID (run_serving_bench.sh).
+#
+# Usage:  nohup benchmarks/run_onchip_battery.sh > /tmp/battery.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=${OUT:-/root/repo/benchmarks/BATTERY_RESULTS.txt}
+CKPT7B=/root/ckpts/llama7b_awq_synth
+CKPT1B=/root/ckpts/llama1b_awq_synth
+
+say() { echo; echo "#### $* [$(date -u +%H:%M:%S)]"; }
+run() { # run <timeout-s> <label> cmd...
+    local t=$1 label=$2; shift 2
+    say "$label"
+    timeout "$t" "$@" 2>&1 | grep -v -E "WARN|INFO|absl|libtpu|oneDNN|cudart|torch_dtype" \
+        || echo "!! $label FAILED/timeout"
+}
+
+{
+say "BATTERY START $(date -u)"
+
+# 1. Anchor (best-of-3 built in).
+run 1200 "1. anchor bench.py" python bench.py
+
+# 2. Multi-step decode sweep.
+for k in 4 8 16; do
+    run 1200 "2. multi-step K=$k" env BENCH_DECODE_STEPS=$k python bench.py
+done
+
+# 3. Rolling fused-linears A/B (heavy Mosaic compile; generous timeout).
+run 2400 "3. rolling fused-linears" env VLLM_TPU_ROLLING=1 python bench.py
+
+# 4. KV-layout probe.
+run 1200 "4. kv-layout probe" python benchmarks/kernels/probe_kv_layout.py
+
+# 5. Breakdown refresh.
+run 2400 "5. breakdown" env BENCH_BREAKDOWN=1 python bench.py
+
+# 6. Batched + fp8 (incl. the batch-1 fp8 retry under the i8 kernel).
+run 1200 "6a. batch32 bf16" env BENCH_BATCH=32 python bench.py
+run 1200 "6b. batch32 fp8 block32" env BENCH_BATCH=32 BENCH_KV_DTYPE=fp8_e5m2 BENCH_BLOCK=32 python bench.py
+run 1200 "6c. batch1 fp8 retry" env BENCH_KV_DTYPE=fp8_e5m2 BENCH_BLOCK=32 python bench.py
+
+# 7. Prefill tok/s rows.
+run 1200 "7a. prefill ctx512" env BENCH_PREFILL=1 BENCH_CTX=512 python bench.py
+run 1200 "7b. prefill ctx2048" env BENCH_PREFILL=1 BENCH_CTX=2048 python bench.py
+
+# 8. Serving TTFT/TPOT sweep (server + rates; own PID management).
+say "8. serving sweep"
+timeout 5400 benchmarks/run_serving_bench.sh "$CKPT7B" 1 2 4 \
+    || echo "!! serving sweep FAILED/timeout"
+
+# 9. Offline throughput + latency.
+run 3600 "9a. offline throughput" python benchmarks/benchmark_throughput.py \
+    --model "$CKPT7B" --num-prompts 64 --input-len 128 --output-len 128
+run 2400 "9b. latency batch8" python benchmarks/benchmark_latency.py \
+    --model "$CKPT7B" --input-len 128 --output-len 64 --batch-size 8 \
+    --num-iters 3
+
+# 10. Speculative decoding bench.
+run 5400 "10. spec decode" python benchmarks/benchmark_spec_decode.py \
+    --target "$CKPT7B" --draft "$CKPT1B" --k 0 2 4 8 --num-tokens 128
+
+# 11. Mixtral depth-slope cross-check at 8 true layers.
+run 5400 "11. mixtral 2,4,8 layers" env MIXTRAL_LAYERS=2,4,8 \
+    python benchmarks/benchmark_mixtral_decode.py
+
+# 12. Compile-check the partials decode kernel at 7B decode shapes.
+run 1200 "12. partials kernel compile" python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+from vllm_quick_tpu.ops.paged_attention import paged_decode_attention_partials
+nb, s, h, d = 64, 16, 32, 128
+cache = jnp.zeros((nb, 2, h, s, d), jnp.bfloat16)
+q = jnp.zeros((1, 32, d), jnp.bfloat16)
+bt = jnp.asarray(np.arange(32, dtype=np.int32)[None, :])
+cl = jnp.full((1,), 500, jnp.int32)
+num, l, m = paged_decode_attention_partials(q, cache, bt, cl, d**-0.5)
+print("partials compile OK", np.asarray(num).shape,
+      float(np.asarray(l).sum()), float(np.asarray(m).max()))
+EOF
+
+say "BATTERY DONE $(date -u)"
+} | tee -a "$OUT"
