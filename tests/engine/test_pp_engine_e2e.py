@@ -44,6 +44,44 @@ def test_pp_engine_matches_plain_greedy(model_dir, pp, tp):
     assert out_tokens == ref_tokens
 
 
+def test_pp_engine_swap_preemption_roundtrip(model_dir):
+    """Multi-sequence groups under a starved pool are preempted by
+    SWAP; under pp the swap gathers/inserts run on the stacked
+    [pp, NB, ...] pools and the host mirror. Generations must complete
+    and match the plain engine exactly (seeded sampling is a pure
+    function of the logits, which pp reproduces bit-for-bit up to
+    epsilon)."""
+
+    def run(**extra):
+        llm = LLM(model=model_dir, dtype="float32", enforce_eager=True,
+                  num_tpu_blocks_override=20, max_model_len=128,
+                  max_num_batched_tokens=512, disable_log_stats=True,
+                  **extra)
+        engine = llm.llm_engine
+        ce = engine.worker.cache_engine
+        swaps = {"out": 0, "in": 0}
+        orig_out, orig_in = ce.swap_out, ce.swap_in
+        ce.swap_out = lambda m: (swaps.__setitem__("out", swaps["out"] + 1),
+                                 orig_out(m))[1]
+        ce.swap_in = lambda m: (swaps.__setitem__("in", swaps["in"] + 1),
+                                orig_in(m))[1]
+        params = SamplingParams(n=2, best_of=2, temperature=0.7, seed=0,
+                                max_tokens=45, ignore_eos=True)
+        outputs = llm.generate(["a b c"] * 4, params, use_tqdm=False)
+        toks = [sorted(tuple(s.token_ids) for s in o.outputs)
+                for o in outputs]
+        return toks, swaps
+
+    ref, ref_swaps = run()
+    got, pp_swaps = run(pipeline_parallel_size=2)
+    assert ref_swaps["out"] > 0 and pp_swaps["out"] > 0
+    assert ref_swaps["in"] > 0 and pp_swaps["in"] > 0
+    for o in got:
+        for seq in o:
+            assert len(seq) == 45
+    assert got == ref
+
+
 def test_pp_engine_beam_search_matches_plain(model_dir):
     """Beam search forks candidates post-prefill and triggers
     copy-on-write on the shared tail block — under pp the COW copy
