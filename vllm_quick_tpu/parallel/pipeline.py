@@ -83,6 +83,36 @@ def pp_param_specs(params: Dict[str, Any], pp_params: Dict[str, Any],
     return specs
 
 
+def build_pp_params(params: Dict[str, Any], pp: int, mesh: Mesh,
+                    tp_axis: str = TP_AXIS
+                    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """split_pp_stages + pp_param_specs + placement, but stacking and
+    placing ONE stage-slot at a time so the transient unsharded copy
+    peaks at pp x one layer instead of 2 x the whole model (matters
+    when the model barely fits one chip pre-split)."""
+    layers = params["layers"]
+    num_layers = len(layers)
+    assert num_layers % pp == 0, (
+        f"num_layers={num_layers} must divide by pp={pp}")
+    lps = num_layers // pp
+    layer_specs = param_pspecs({"layers": [layers[0]]},
+                               tp_axis)["layers"][0]
+    slot_spec = jax.tree_util.tree_map(
+        lambda s: P(PP_AXIS, *s), layer_specs, is_leaf=_is_spec)
+    slots = []
+    for j in range(lps):
+        stage_trees = [layers[r * lps + j] for r in range(pp)]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *stage_trees)
+        slots.append(shard_pytree(stacked, slot_spec, mesh))
+    base = {k: v for k, v in params.items() if k != "layers"}
+    base_specs = param_pspecs(base, tp_axis)
+    out = shard_pytree(base, base_specs, mesh)
+    out["pp_layers"] = slots
+    base_specs["pp_layers"] = [slot_spec] * lps
+    return out, base_specs
+
+
 def stack_pp_caches(caches: Sequence[jax.Array], pp: int) -> List[jax.Array]:
     """Per-layer cache list (length L) -> per-stage-slot stacked list
     (length L//pp, each [pp, NB, 2, H, S, D]); slot j of stage r holds

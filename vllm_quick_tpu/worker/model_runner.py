@@ -146,21 +146,14 @@ class ModelRunner:
         mesh axis and the GPipe microbatch schedule
         (parallel/pipeline.py) replaces the plain step. Batches pad to
         a multiple of num_microbatches (= pp) in the prepare paths."""
-        from vllm_quick_tpu.parallel.pipeline import (make_pp_sharded_step,
-                                                      place_pp,
-                                                      pp_param_specs,
-                                                      split_pp_stages)
+        from vllm_quick_tpu.parallel.pipeline import (build_pp_params,
+                                                      make_pp_sharded_step)
         pp = self.ctx.pp_size
         assert self.model.num_layers % pp == 0, (
             f"num_layers={self.model.num_layers} must divide by "
             f"pipeline_parallel_size={pp}")
-        # NOTE: split_pp_stages stacks the already-placed params before
-        # re-placing them pp-sharded (transient ~2x weight footprint on
-        # the default device). Large multi-chip deployments should
-        # stack host-side shards pre-placement instead.
-        pp_params = split_pp_stages(self.params, pp)
-        specs = pp_param_specs(self.params, pp_params)
-        self.params = place_pp(pp_params, specs, self.mesh)
+        self.params, specs = build_pp_params(self.params, pp, self.mesh,
+                                             tp_axis=self.ctx.tp_axis)
         self._param_specs = specs
         self._pp_prefill_step = make_pp_sharded_step(
             self.model, self.mesh, specs, pp, num_microbatches=pp,
