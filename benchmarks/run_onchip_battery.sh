@@ -6,7 +6,7 @@
 # tracks its exact server PID (run_serving_bench.sh).
 #
 # Usage:  nohup benchmarks/run_onchip_battery.sh > /tmp/battery.log 2>&1 &
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=${OUT:-/root/repo/benchmarks/BATTERY_RESULTS.txt}

@@ -46,6 +46,28 @@ def _is_spec(x) -> bool:
     return isinstance(x, P)
 
 
+def _layers_per_stage(layers: Sequence[Any], pp: int) -> int:
+    num_layers = len(layers)
+    assert num_layers % pp == 0, (
+        f"num_layers={num_layers} must divide by pp={pp}")
+    return num_layers // pp
+
+
+def _stack_slot(layers: Sequence[Any], pp: int, lps: int, j: int) -> Any:
+    """Stage-slot j: layer ``r*lps + j`` of stage r, leaves stacked
+    ``[pp, ...]`` across stages."""
+    stage_trees = [layers[r * lps + j] for r in range(pp)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                  *stage_trees)
+
+
+def _slot_spec(layer0: Any, tp_axis: str) -> Any:
+    """P(pp, *orig) for every leaf of a representative layer tree."""
+    layer_specs = param_pspecs({"layers": [layer0]}, tp_axis)["layers"][0]
+    return jax.tree_util.tree_map(
+        lambda s: P(PP_AXIS, *s), layer_specs, is_leaf=_is_spec)
+
+
 def split_pp_stages(params: Dict[str, Any], pp: int) -> Dict[str, Any]:
     """Restructure ``params`` for PP: the ``layers`` list (length L,
     uniform treedef) becomes ``pp_layers`` — L//pp stage-slot trees
@@ -54,17 +76,10 @@ def split_pp_stages(params: Dict[str, Any], pp: int) -> Dict[str, Any]:
     final_norm, lm_head, ...) is kept as-is and replicated over pp.
     """
     layers = params["layers"]
-    num_layers = len(layers)
-    assert num_layers % pp == 0, (
-        f"num_layers={num_layers} must divide by pp={pp}")
-    lps = num_layers // pp
-    slots = []
-    for j in range(lps):
-        stage_trees = [layers[r * lps + j] for r in range(pp)]
-        slots.append(jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *stage_trees))
+    lps = _layers_per_stage(layers, pp)
     out = {k: v for k, v in params.items() if k != "layers"}
-    out["pp_layers"] = slots
+    out["pp_layers"] = [_stack_slot(layers, pp, lps, j)
+                        for j in range(lps)]
     return out
 
 
@@ -75,11 +90,8 @@ def pp_param_specs(params: Dict[str, Any], pp_params: Dict[str, Any],
     replicated over pp), stage-slot leaves get P(pp, *orig)."""
     base = {k: v for k, v in params.items() if k != "layers"}
     specs = param_pspecs(base, tp_axis)
-    layer_specs = param_pspecs({"layers": [params["layers"][0]]},
-                               tp_axis)["layers"][0]
-    slot_spec = jax.tree_util.tree_map(
-        lambda s: P(PP_AXIS, *s), layer_specs, is_leaf=_is_spec)
-    specs["pp_layers"] = [slot_spec] * len(pp_params["pp_layers"])
+    specs["pp_layers"] = ([_slot_spec(params["layers"][0], tp_axis)]
+                          * len(pp_params["pp_layers"]))
     return specs
 
 
@@ -91,25 +103,15 @@ def build_pp_params(params: Dict[str, Any], pp: int, mesh: Mesh,
     peaks at pp x one layer instead of 2 x the whole model (matters
     when the model barely fits one chip pre-split)."""
     layers = params["layers"]
-    num_layers = len(layers)
-    assert num_layers % pp == 0, (
-        f"num_layers={num_layers} must divide by pp={pp}")
-    lps = num_layers // pp
-    layer_specs = param_pspecs({"layers": [layers[0]]},
-                               tp_axis)["layers"][0]
-    slot_spec = jax.tree_util.tree_map(
-        lambda s: P(PP_AXIS, *s), layer_specs, is_leaf=_is_spec)
-    slots = []
-    for j in range(lps):
-        stage_trees = [layers[r * lps + j] for r in range(pp)]
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *stage_trees)
-        slots.append(shard_pytree(stacked, slot_spec, mesh))
+    lps = _layers_per_stage(layers, pp)
+    spec = _slot_spec(layers[0], tp_axis)
+    slots = [shard_pytree(_stack_slot(layers, pp, lps, j), spec, mesh)
+             for j in range(lps)]
     base = {k: v for k, v in params.items() if k != "layers"}
     base_specs = param_pspecs(base, tp_axis)
     out = shard_pytree(base, base_specs, mesh)
     out["pp_layers"] = slots
-    base_specs["pp_layers"] = [slot_spec] * lps
+    base_specs["pp_layers"] = [spec] * lps
     return out, base_specs
 
 
