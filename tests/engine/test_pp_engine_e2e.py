@@ -107,3 +107,32 @@ def test_pp_engine_beam_search_matches_plain(model_dir):
     out_tokens = sorted(tuple(o.token_ids) for o in out[0].outputs)
 
     assert out_tokens == ref_tokens
+
+
+def test_pp_engine_chunked_prefill_matches_plain(model_dir):
+    """Chunked prefill composes with pp: chunk steps ride the pp
+    prefill program's prefix path (block_tables/context_lens are
+    microbatch-sliced like any other metadata). Long prompts beyond
+    the per-step budget must match the plain engine exactly."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(3, 500, size=n).tolist()
+               for n in (50, 23, 70)]     # 50/70 exceed the 32 budget
+    params = SamplingParams(max_tokens=8, temperature=0.0,
+                            ignore_eos=True)
+
+    plain = LLM(model=model_dir, max_model_len=128, block_size=16,
+                dtype="float32")
+    ref = plain.generate(prompt_token_ids=prompts,
+                         sampling_params=params, use_tqdm=False)
+    ref_tokens = [o.outputs[0].token_ids for o in ref]
+    del plain
+
+    pp_llm = LLM(model=model_dir, max_model_len=128, block_size=16,
+                 dtype="float32", pipeline_parallel_size=2,
+                 max_num_batched_tokens=32, max_num_seqs=8,
+                 enable_chunked_prefill=True)
+    out = pp_llm.generate(prompt_token_ids=prompts,
+                          sampling_params=params, use_tqdm=False)
+    out_tokens = [o.outputs[0].token_ids for o in out]
+
+    assert out_tokens == ref_tokens

@@ -105,10 +105,6 @@ class LLMEngine:
             if getattr(scheduler_config, "speculative_model", None):
                 raise ValueError("speculative decoding + pipeline "
                                  "parallelism is unsupported")
-            if getattr(scheduler_config, "enable_chunked_prefill",
-                       False):
-                raise ValueError("chunked prefill + pipeline "
-                                 "parallelism is unsupported")
         ctx = ParallelContext(
             tp_size=parallel_config.tensor_parallel_size,
             dp_size=parallel_config.data_parallel_size,
