@@ -285,11 +285,6 @@ class LLMEngine:
                 raise ValueError(
                     "prefix caching is unsupported under sequence "
                     "parallelism")
-            if getattr(self.parallel_config, "pipeline_parallel_size",
-                       1) > 1:
-                raise ValueError(
-                    "prefix caching is unsupported under pipeline "
-                    "parallelism")
             prefix = self.scheduler.prefix_pool.add_or_get_prefix(
                 prompt_token_ids[:prefix_pos])
         seq_group = SequenceGroup(request_id, [seq], sampling_params,
