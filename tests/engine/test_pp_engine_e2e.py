@@ -164,3 +164,30 @@ def test_pp_engine_prefix_caching_matches_plain(model_dir):
                              use_tqdm=False)
     for b, c in zip(baseline, cached):
         assert b.outputs[0].token_ids == c.outputs[0].token_ids
+
+
+def test_pp_engine_prompt_logprobs_match_plain(model_dir):
+    """Echo (prompt_logprobs) under pp: the last stage emits full
+    hidden states and the echo logprob pass runs after the pp psum.
+    Entries must match the plain engine's to numerical epsilon."""
+    import pytest as _pytest
+
+    def run(**extra):
+        llm = LLM(model=model_dir, dtype="float32", max_model_len=128,
+                  disable_log_stats=True, **extra)
+        out = llm.generate(
+            prompt_token_ids=[[5, 17, 101, 32, 250, 7, 88]],
+            sampling_params=SamplingParams(temperature=0.0,
+                                           max_tokens=1,
+                                           prompt_logprobs=2),
+            use_tqdm=False)[0]
+        return out.prompt_logprobs
+
+    ref = run()
+    got = run(pipeline_parallel_size=2)
+    assert got is not None and len(got) == len(ref)
+    assert got[0] is None and ref[0] is None
+    for r, g in zip(ref[1:], got[1:]):
+        assert set(g) == set(r)
+        for tok in r:
+            assert g[tok] == _pytest.approx(r[tok], abs=2e-3)

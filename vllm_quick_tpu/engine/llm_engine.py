@@ -275,10 +275,6 @@ class LLMEngine:
                        "sequence_parallel_size", 1) > 1:
                 raise ValueError("prompt_logprobs (echo) is unsupported "
                                  "under sequence parallelism")
-            if getattr(self.parallel_config,
-                       "pipeline_parallel_size", 1) > 1:
-                raise ValueError("prompt_logprobs (echo) is unsupported "
-                                 "under pipeline parallelism")
         if prefix_pos is not None:
             if getattr(self.parallel_config, "sequence_parallel_size",
                        1) > 1:

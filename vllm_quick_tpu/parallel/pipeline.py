@@ -156,6 +156,7 @@ def make_pp_sharded_step(
     is_prompt: bool,
     tp_axis: str = TP_AXIS,
     donate_caches: bool = True,
+    echo_k: int = 0,
 ) -> Callable:
     """Build the jitted PP serving step.
 
@@ -165,8 +166,14 @@ def make_pp_sharded_step(
     ``stack_pp_caches`` list and B = num_microbatches * mb_size.
     Inputs replicate over pp (every rank sees the whole batch and
     slices its current microbatch); logits replicate on exit.
+
+    ``echo_k > 0`` (prefill only) additionally returns all-position
+    prompt logprobs ``(tgt [B, L], top_lp [B, L, k], top_ids)`` — the
+    last stage emits its full hidden states instead of the last token's
+    and the echo math runs replicated after the pp psum.
     """
     assert num_microbatches >= 1
+    assert not echo_k or is_prompt, "echo is a prefill-only feature"
 
     def body(params, ids, positions, caches, meta, prompt_lens):
         rank = jax.lax.axis_index(PP_AXIS)
@@ -186,8 +193,9 @@ def make_pp_sharded_step(
             jnp.zeros_like,
             model.pp_prologue(params, _mb_slice(ids, zero, mb_size),
                               _mb_slice(positions, zero, mb_size)))
-        out_acc = jnp.zeros((num_microbatches, mb_size,
-                             model.hidden_size),
+        out_tail = ((ids.shape[1], model.hidden_size) if echo_k
+                    else (model.hidden_size,))
+        out_acc = jnp.zeros((num_microbatches, mb_size) + out_tail,
                             params["embed"].dtype)
 
         for t in range(n_ticks):
@@ -219,9 +227,10 @@ def make_pp_sharded_step(
                     layer, state, pos_mb, local_caches[j], meta_mb)
                 local_caches[j] = new_cache
 
-            # Last-stage epilogue: final norm (+ last-token select).
+            # Last-stage epilogue: final norm (+ last-token select;
+            # echo keeps every position for the logprob pass below).
             hl = model.pp_epilogue(params, state)
-            if is_prompt:
+            if is_prompt and not echo_k:
                 idx = jnp.maximum(meta_mb.prompt_lens - 1, 0)
                 hl = jnp.take_along_axis(
                     hl, idx[:, None, None], axis=1)[:, 0]
@@ -239,10 +248,23 @@ def make_pp_sharded_step(
                     state)
 
         # Only rank pp-1 accumulated; replicate to all pp ranks.
-        hidden = jax.lax.psum(out_acc, PP_AXIS).reshape(
-            batch, model.hidden_size)
+        hidden = jax.lax.psum(out_acc, PP_AXIS)
+        caches_out = [lc[None] for lc in local_caches]
+        if echo_k:
+            from vllm_quick_tpu.model_executor.prompt_logprobs import (
+                echo_prompt_logprobs)
+            full = hidden.reshape(batch, ids.shape[1],
+                                  model.hidden_size)
+            idx = jnp.maximum(prompt_lens - 1, 0)
+            last = jnp.take_along_axis(
+                full, idx[:, None, None], axis=1)[:, 0]
+            logits = model.compute_logits(params, last)
+            tgt, tl, ti = echo_prompt_logprobs(model, params, full,
+                                               ids, echo_k)
+            return logits, caches_out, (tgt, tl, ti)
+        hidden = hidden.reshape(batch, model.hidden_size)
         logits = model.compute_logits(params, hidden)
-        return logits, [lc[None] for lc in local_caches]
+        return logits, caches_out
 
     cache_spec = pp_cache_pspec(tp_axis)
     meta_spec = InputMetadata(is_prompt=is_prompt, slot_mapping=P(),
@@ -250,6 +272,8 @@ def make_pp_sharded_step(
                               block_tables=P(), lora_indices=P())
     in_specs = (param_specs, P(), P(), cache_spec, meta_spec, P())
     out_specs = (P(), cache_spec)
+    if echo_k:
+        out_specs = out_specs + ((P(), P(), P()),)
     step = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
     donate = (3,) if donate_caches else ()

@@ -213,6 +213,8 @@ class ModelRunner:
         if step is not None:
             return step
         model = self.model
+        from vllm_quick_tpu.model_executor.prompt_logprobs import (
+            echo_prompt_logprobs)
 
         def _step_echo(params, input_ids, positions, kv_caches, meta,
                        prompt_lens):
@@ -222,22 +224,18 @@ class ModelRunner:
             last = jnp.take_along_axis(
                 hidden, idx[:, None, None], axis=1)[:, 0]
             logits = model.compute_logits(params, last)
-
-            def one_row(args):
-                h, row_ids = args          # [L, H], [L]
-                row_logits = model.compute_logits(params, h)
-                lsm = jax.nn.log_softmax(
-                    row_logits.astype(jnp.float32), axis=-1)
-                # Position i scores the *next* prompt token (i+1).
-                nxt = jnp.roll(row_ids, -1)
-                tgt = jnp.take_along_axis(lsm, nxt[:, None], axis=1)[:, 0]
-                tl, ti = jax.lax.top_k(lsm, k)
-                return tgt, tl, ti
-
-            tgt, tl, ti = jax.lax.map(one_row, (hidden, input_ids))
+            tgt, tl, ti = echo_prompt_logprobs(model, params, hidden,
+                                               input_ids, k)
             return logits, new_caches, (tgt, tl, ti)
 
-        if self._world > 1:
+        if self.ctx.pp_size > 1:
+            from vllm_quick_tpu.parallel.pipeline import (
+                make_pp_sharded_step)
+            step = make_pp_sharded_step(
+                model, self.mesh, self._param_specs, self.ctx.pp_size,
+                num_microbatches=self.ctx.pp_size, is_prompt=True,
+                tp_axis=self.ctx.tp_axis, echo_k=k)
+        elif self._world > 1:
             from vllm_quick_tpu.parallel.sharding import make_sharded_step
             step = make_sharded_step(_step_echo, self.mesh,
                                      self._param_specs, n_extra_outputs=3)
@@ -575,9 +573,11 @@ class ModelRunner:
         echo_k = int(payload.get("echo_k", 0))
         if self.ctx.pp_size > 1:
             if echo_k:
-                raise ValueError(
-                    "prompt_logprobs (echo) is unsupported under "
-                    "pipeline parallelism")
+                step = self._get_echo_step(echo_k)
+                logits, kv_caches, extras = step(
+                    self.params, payload["ids"], payload["pos"],
+                    kv_caches, meta, payload["prompt_lens"])
+                return logits, kv_caches, extras
             step = (self._pp_prefill_step if meta.is_prompt
                     else self._pp_decode_step)
             logits, kv_caches = step(
