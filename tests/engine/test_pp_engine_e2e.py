@@ -191,3 +191,40 @@ def test_pp_engine_prompt_logprobs_match_plain(model_dir):
         assert set(g) == set(r)
         for tok in r:
             assert g[tok] == _pytest.approx(r[tok], abs=2e-3)
+
+
+def test_pp_engine_lora_matches_plain(model_dir):
+    """Multi-LoRA under pp: adapter A/B stacks ride the stage-stacked
+    params (re-synced by the runner whenever the manager writes a
+    slot), and per-token adapter indices are microbatch-sliced like
+    any other metadata. Adapter and base outputs must match the plain
+    LoRA engine exactly, including after an adapter switch (slot
+    rewrite -> stack re-sync)."""
+    from tests.lora.test_lora import _make_adapter
+    from vllm_quick_tpu.lora.request import LoRARequest
+
+    base_dir = make_tiny_llama_dir(key="pp_lora_base")
+    ad1, _ = _make_adapter(base_dir, seed=21)
+    ad2, _ = _make_adapter(base_dir, seed=22)
+    prompts = ["the quick brown fox", "hello world says"]
+    params = SamplingParams(temperature=0.0, max_tokens=6)
+
+    def run(**extra):
+        llm = LLM(model=base_dir, dtype="float32", max_model_len=256,
+                  enable_lora=True, max_loras=2, max_lora_rank=8,
+                  disable_log_stats=True, **extra)
+        outs = []
+        for req in (LoRARequest("a1", 1, ad1), None,
+                    LoRARequest("a2", 2, ad2),
+                    LoRARequest("a1", 1, ad1)):
+            outs.append([o.outputs[0].token_ids
+                         for o in llm.generate(prompts, params,
+                                               lora_request=req,
+                                               use_tqdm=False)])
+        return outs
+
+    ref = run()
+    got = run(pipeline_parallel_size=2)
+    assert got == ref
+    # Sanity: the adapter actually changes the output.
+    assert ref[0] != ref[1]

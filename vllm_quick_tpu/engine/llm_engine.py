@@ -99,9 +99,6 @@ class LLMEngine:
                                  "chips)")
         pp = getattr(parallel_config, "pipeline_parallel_size", 1)
         if pp > 1:
-            if lora_config is not None:
-                raise ValueError("LoRA + pipeline parallelism is "
-                                 "unsupported")
             if getattr(scheduler_config, "speculative_model", None):
                 raise ValueError("speculative decoding + pipeline "
                                  "parallelism is unsupported")

@@ -101,6 +101,10 @@ class LoRAModelManager:
         self.slot_ids: List[int] = [0] * self.capacity
         self.slot_clock: List[int] = [0] * self.capacity
         self._clock = 0
+        # Bumped on every stack mutation; consumers holding derived
+        # views of the stacks (the pp runner's stage-stacked copies)
+        # re-sync when it changes.
+        self.version = 0
 
     def _global_dims(self, lw) -> Tuple[int, int]:
         """(K, N) of the stack arrays: the TP-sharded axis is global.
@@ -185,6 +189,7 @@ class LoRAModelManager:
                 lw = layer[key]
                 lw.lora_a = lw.lora_a.at[slot].set(0)
                 lw.lora_b = lw.lora_b.at[slot].set(0)
+        self.version += 1
         return True
 
     def list_ids(self) -> List[int]:
@@ -237,3 +242,4 @@ class LoRAModelManager:
                 else:
                     lw.lora_a = lw.lora_a.at[slot].set(0)
                     lw.lora_b = lw.lora_b.at[slot].set(0)
+        self.version += 1

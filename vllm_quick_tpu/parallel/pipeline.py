@@ -215,7 +215,8 @@ def make_pp_sharded_step(
                 prompt_lens=_mb_slice(meta.prompt_lens, mbc, mb_size),
                 context_lens=_mb_slice(meta.context_lens, mbc, mb_size),
                 block_tables=_mb_slice(meta.block_tables, mbc, mb_size),
-                lora_indices=None)
+                lora_indices=_mb_slice(meta.lora_indices, mbc,
+                                       mb_size))
 
             state0 = model.pp_prologue(params, ids_mb, pos_mb)
             state = jax.tree_util.tree_map(

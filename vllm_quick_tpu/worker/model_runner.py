@@ -152,6 +152,11 @@ class ModelRunner:
         assert self.model.num_layers % pp == 0, (
             f"num_layers={self.model.num_layers} must divide by "
             f"pipeline_parallel_size={pp}")
+        # The LoRA manager keeps mutating the ORIGINAL per-layer
+        # LinearWeights; the pp tree holds stacked copies that
+        # _refresh_pp_lora re-syncs when the manager's version moves.
+        self._pp_src_layers = self.params["layers"]
+        self._pp_lora_ver = -1
         self.params, specs = build_pp_params(self.params, pp, self.mesh,
                                              tp_axis=self.ctx.tp_axis)
         self._param_specs = specs
@@ -161,6 +166,36 @@ class ModelRunner:
         self._pp_decode_step = make_pp_sharded_step(
             self.model, self.mesh, specs, pp, num_microbatches=pp,
             is_prompt=False, tp_axis=self.ctx.tp_axis)
+
+    def _refresh_pp_lora(self) -> None:
+        """Re-stack the LoRA A/B leaves of the pp tree from the source
+        layers after the manager mutated them (adapter load/evict).
+        Only the lora stacks move — base weights are untouched."""
+        if self.lora_manager is None or self.ctx.pp_size <= 1:
+            return
+        mgr = self.lora_manager.manager
+        if mgr.version == self._pp_lora_ver:
+            return
+        self._pp_lora_ver = mgr.version
+        from jax.sharding import NamedSharding
+        pp = self.ctx.pp_size
+        lps = len(self.params["pp_layers"])
+        for j, slot_tree in enumerate(self.params["pp_layers"]):
+            spec_tree = self._param_specs["pp_layers"][j]
+            for key in mgr.target_map:
+                lw = slot_tree[key]
+                spec = spec_tree[key]
+                src = [self._pp_src_layers[r * lps + j][key]
+                       for r in range(pp)]
+                a = jnp.stack([s.lora_a for s in src])
+                b = jnp.stack([s.lora_b for s in src])
+                if self.mesh is not None:
+                    a = jax.device_put(
+                        a, NamedSharding(self.mesh, spec.lora_a))
+                    b = jax.device_put(
+                        b, NamedSharding(self.mesh, spec.lora_b))
+                lw.lora_a = a
+                lw.lora_b = b
 
     def _build_sp_steps(self, _step) -> None:
         """Context-parallel (sp x tp) execution programs. Prefill:
@@ -523,6 +558,7 @@ class ModelRunner:
             self._lora_mapping = (
                 self.lora_manager.set_active_loras(requests)
                 if requests else {})
+            self._refresh_pp_lora()
         is_prompt = metas[0].is_prompt
         if is_prompt:
             ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
