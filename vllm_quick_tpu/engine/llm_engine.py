@@ -102,6 +102,16 @@ class LLMEngine:
             if getattr(scheduler_config, "speculative_model", None):
                 raise ValueError("speculative decoding + pipeline "
                                  "parallelism is unsupported")
+        if lora_config is not None:
+            from vllm_quick_tpu.parallel.multihost import is_multihost
+            if is_multihost():
+                # Adapter slot writes happen on the driver's param
+                # stacks only; follower hosts would run with zeroed
+                # stacks and silently diverge the KV pools.
+                raise NotImplementedError(
+                    "multi-LoRA is not supported in multi-host "
+                    "deployments yet (adapter weights are not "
+                    "broadcast to follower hosts)")
         ctx = ParallelContext(
             tp_size=parallel_config.tensor_parallel_size,
             dp_size=parallel_config.data_parallel_size,

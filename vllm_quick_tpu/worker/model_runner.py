@@ -155,7 +155,12 @@ class ModelRunner:
         # The LoRA manager keeps mutating the ORIGINAL per-layer
         # LinearWeights; the pp tree holds stacked copies that
         # _refresh_pp_lora re-syncs when the manager's version moves.
-        self._pp_src_layers = self.params["layers"]
+        # Retained ONLY under LoRA (the manager pins that tree anyway
+        # via mgr.layers); without it the originals are freed after
+        # build_pp_params so per-chip weight HBM really divides by pp.
+        self._pp_src_layers = (self.params["layers"]
+                               if self.lora_manager is not None
+                               else None)
         self._pp_lora_ver = -1
         self.params, specs = build_pp_params(self.params, pp, self.mesh,
                                              tp_axis=self.ctx.tp_axis)
@@ -607,13 +612,11 @@ class ModelRunner:
             lora_indices=payload.get("lora_indices"),
         )
         echo_k = int(payload.get("echo_k", 0))
-        if self.ctx.pp_size > 1:
-            if echo_k:
-                step = self._get_echo_step(echo_k)
-                logits, kv_caches, extras = step(
-                    self.params, payload["ids"], payload["pos"],
-                    kv_caches, meta, payload["prompt_lens"])
-                return logits, kv_caches, extras
+        if echo_k and self.ctx.sp_size > 1:
+            raise ValueError(
+                "prompt_logprobs (echo) is unsupported under "
+                "sequence parallelism")
+        if self.ctx.pp_size > 1 and not echo_k:
             step = (self._pp_prefill_step if meta.is_prompt
                     else self._pp_decode_step)
             logits, kv_caches = step(
@@ -621,10 +624,6 @@ class ModelRunner:
                 meta, payload["prompt_lens"])
             return logits, kv_caches, None
         if self.ctx.sp_size > 1:
-            if echo_k:
-                raise ValueError(
-                    "prompt_logprobs (echo) is unsupported under "
-                    "sequence parallelism")
             step = (self._sp_prefill_step if meta.is_prompt
                     else self._sp_decode_step)
             logits, kv_caches = step(
@@ -632,6 +631,7 @@ class ModelRunner:
                 meta, payload["prompt_lens"])
             return logits, kv_caches, None
         if echo_k:
+            # _get_echo_step internally selects the pp variant.
             step = self._get_echo_step(echo_k)
             logits, kv_caches, extras = step(
                 self.params, payload["ids"], payload["pos"], kv_caches,
