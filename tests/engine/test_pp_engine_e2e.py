@@ -228,3 +228,32 @@ def test_pp_engine_lora_matches_plain(model_dir):
     assert got == ref
     # Sanity: the adapter actually changes the output.
     assert ref[0] != ref[1]
+
+
+def test_pp_engine_spec_decode_matches_plain(model_dir):
+    """Speculative decoding under pp: the draft model runs its own pp
+    schedule, the target scores drafts with the pp score variant
+    (all-position logits, flat per-token slots), and rejection
+    sampling guarantees target-exact output — so greedy spec+pp must
+    match the plain engine token for token."""
+    draft_dir = make_tiny_llama_dir(seed=123, key="pp_spec_draft")
+    prompts = ["the quick brown fox jumps", "hello world and good"]
+    params = SamplingParams(temperature=0.0, max_tokens=12,
+                            ignore_eos=True)
+
+    def run(**extra):
+        llm = LLM(model=model_dir, dtype="float32", enforce_eager=True,
+                  num_tpu_blocks_override=256, max_model_len=128,
+                  max_num_batched_tokens=512, disable_log_stats=True,
+                  **extra)
+        outs = llm.generate(prompts, params, use_tqdm=False)
+        toks = [o.outputs[0].token_ids for o in outs]
+        worker = llm.llm_engine.worker
+        return toks, worker
+
+    ref, _ = run()
+    got, worker = run(pipeline_parallel_size=2,
+                      speculative_model=draft_dir,
+                      num_speculative_tokens=3)
+    assert got == ref
+    assert worker.spec_steps > 0

@@ -98,10 +98,6 @@ class LLMEngine:
                                  "already splits the prompt across "
                                  "chips)")
         pp = getattr(parallel_config, "pipeline_parallel_size", 1)
-        if pp > 1:
-            if getattr(scheduler_config, "speculative_model", None):
-                raise ValueError("speculative decoding + pipeline "
-                                 "parallelism is unsupported")
         if lora_config is not None:
             from vllm_quick_tpu.parallel.multihost import is_multihost
             if is_multihost():

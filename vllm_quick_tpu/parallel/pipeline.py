@@ -157,6 +157,7 @@ def make_pp_sharded_step(
     tp_axis: str = TP_AXIS,
     donate_caches: bool = True,
     echo_k: int = 0,
+    score: bool = False,
 ) -> Callable:
     """Build the jitted PP serving step.
 
@@ -171,9 +172,17 @@ def make_pp_sharded_step(
     prompt logprobs ``(tgt [B, L], top_lp [B, L, k], top_ids)`` — the
     last stage emits its full hidden states instead of the last token's
     and the echo math runs replicated after the pp psum.
+
+    ``score=True`` (prefill only) returns ALL positions' logits
+    ``[B, L, V]`` — the spec-decode target scorer. ``slot_mapping``
+    comes FLAT ``[B*L]`` (the per-token cache-write path); the body
+    reshapes it per microbatch.
     """
     assert num_microbatches >= 1
     assert not echo_k or is_prompt, "echo is a prefill-only feature"
+    assert not score or (is_prompt and not echo_k), (
+        "score is a prefill-shaped variant exclusive with echo")
+    full_hidden = bool(echo_k) or score
 
     def body(params, ids, positions, caches, meta, prompt_lens):
         rank = jax.lax.axis_index(PP_AXIS)
@@ -193,10 +202,15 @@ def make_pp_sharded_step(
             jnp.zeros_like,
             model.pp_prologue(params, _mb_slice(ids, zero, mb_size),
                               _mb_slice(positions, zero, mb_size)))
-        out_tail = ((ids.shape[1], model.hidden_size) if echo_k
+        out_tail = ((ids.shape[1], model.hidden_size) if full_hidden
                     else (model.hidden_size,))
         out_acc = jnp.zeros((num_microbatches, mb_size) + out_tail,
                             params["embed"].dtype)
+        slot_src = meta.slot_mapping
+        if score and slot_src.ndim == 1:
+            # Flat per-token slots -> [B, L] so microbatch slicing
+            # works; re-flattened per microbatch below.
+            slot_src = slot_src.reshape(ids.shape)
 
         for t in range(n_ticks):
             mb = t - rank
@@ -205,10 +219,13 @@ def make_pp_sharded_step(
 
             ids_mb = _mb_slice(ids, mbc, mb_size)
             pos_mb = _mb_slice(positions, mbc, mb_size)
-            slots_mb = _mb_slice(meta.slot_mapping, mbc, mb_size)
+            slots_mb = _mb_slice(slot_src, mbc, mb_size)
             # Don't-care ticks write their K/V to the null block.
             slots_mb = jnp.where(valid, slots_mb,
                                  jnp.zeros_like(slots_mb))
+            if score:
+                # Back to the flat per-token cache-write layout.
+                slots_mb = slots_mb.reshape(-1)
             meta_mb = dataclasses.replace(
                 meta,
                 slot_mapping=slots_mb,
@@ -229,9 +246,9 @@ def make_pp_sharded_step(
                 local_caches[j] = new_cache
 
             # Last-stage epilogue: final norm (+ last-token select;
-            # echo keeps every position for the logprob pass below).
+            # echo/score keep every position for the pass below).
             hl = model.pp_epilogue(params, state)
-            if is_prompt and not echo_k:
+            if is_prompt and not full_hidden:
                 idx = jnp.maximum(meta_mb.prompt_lens - 1, 0)
                 hl = jnp.take_along_axis(
                     hl, idx[:, None, None], axis=1)[:, 0]
@@ -251,6 +268,12 @@ def make_pp_sharded_step(
         # Only rank pp-1 accumulated; replicate to all pp ranks.
         hidden = jax.lax.psum(out_acc, PP_AXIS)
         caches_out = [lc[None] for lc in local_caches]
+        if score:
+            full = hidden.reshape(batch * ids.shape[1],
+                                  model.hidden_size)
+            logits = model.compute_logits(params, full)
+            return (logits.reshape(batch, ids.shape[1], -1),
+                    caches_out)
         if echo_k:
             from vllm_quick_tpu.model_executor.prompt_logprobs import (
                 echo_prompt_logprobs)

@@ -301,7 +301,14 @@ class ModelRunner:
                 params, hidden.reshape(b * l, h))
             return logits.reshape(b, l, -1), new_caches
 
-        if self._world > 1:
+        if self.ctx.pp_size > 1:
+            from vllm_quick_tpu.parallel.pipeline import (
+                make_pp_sharded_step)
+            self._score_step = make_pp_sharded_step(
+                model, self.mesh, self._param_specs, self.ctx.pp_size,
+                num_microbatches=self.ctx.pp_size, is_prompt=True,
+                tp_axis=self.ctx.tp_axis, score=True)
+        elif self._world > 1:
             from vllm_quick_tpu.parallel.sharding import make_sharded_step
             self._score_step = make_sharded_step(_step_score, self.mesh,
                                                  self._param_specs)
