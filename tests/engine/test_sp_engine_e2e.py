@@ -69,3 +69,35 @@ def test_sp_engine_beam_search_matches_plain(model_dir):
     out_tokens = sorted(tuple(o.token_ids) for o in out[0].outputs)
 
     assert out_tokens == ref_tokens
+
+
+def test_sp_engine_lora_matches_plain(model_dir):
+    """Multi-LoRA under sp: per-token adapter indices ride the same
+    block-strided token permutation as the ids/slots (prompt) and
+    replicate per rank (decode). Adapter and base outputs must match
+    the plain LoRA engine exactly."""
+    from tests.lora.test_lora import _make_adapter
+    from vllm_quick_tpu.lora.request import LoRARequest
+
+    base_dir = make_tiny_llama_dir(key="sp_lora_base")
+    ad1, _ = _make_adapter(base_dir, seed=31)
+    prompts = ["the quick brown fox jumps over it",
+               "hello world says hi"]
+    params = SamplingParams(temperature=0.0, max_tokens=6)
+
+    def run(**extra):
+        llm = LLM(model=base_dir, dtype="float32", max_model_len=256,
+                  block_size=16, enable_lora=True, max_loras=2,
+                  max_lora_rank=8, disable_log_stats=True, **extra)
+        outs = []
+        for req in (LoRARequest("a1", 1, ad1), None):
+            outs.append([o.outputs[0].token_ids
+                         for o in llm.generate(prompts, params,
+                                               lora_request=req,
+                                               use_tqdm=False)])
+        return outs
+
+    ref = run()
+    got = run(sequence_parallel_size=4)
+    assert got == ref
+    assert ref[0] != ref[1]     # the adapter actually does something

@@ -85,9 +85,6 @@ class LLMEngine:
 
         sp = getattr(parallel_config, "sequence_parallel_size", 1)
         if sp > 1:
-            if lora_config is not None:
-                raise ValueError("LoRA + sequence parallelism is "
-                                 "unsupported")
             if getattr(scheduler_config, "speculative_model", None):
                 raise ValueError("speculative decoding + sequence "
                                  "parallelism is unsupported")

@@ -262,7 +262,8 @@ def make_sp_sharded_step(
         seq = P(None, sp_axis)
         in_specs = (param_specs, seq, seq, cache,
                     InputMetadata(is_prompt=True, slot_mapping=seq,
-                                  prompt_lens=P()), P())
+                                  prompt_lens=P(),
+                                  lora_indices=seq), P())
         # ``replicated_out``: the raw step psum-selects the owner
         # rank's logits itself (engine path), so outputs replicate;
         # default returns per-rank rows stacked [sp*B, V].
@@ -273,7 +274,8 @@ def make_sp_sharded_step(
         in_specs = (param_specs, P(), P(), cache,
                     InputMetadata(is_prompt=False, slot_mapping=stacked,
                                   context_lens=stacked,
-                                  block_tables=stacked), P())
+                                  block_tables=stacked,
+                                  lora_indices=P()), P())
         out_specs = (P(), cache)
 
         def fn(params, ids, pos, caches, meta, plens):

@@ -411,13 +411,15 @@ class ModelRunner:
             lora_indices=lora_indices,
         )
         if self.ctx.sp_size > 1:
-            assert block_tables is None and lora_indices is None, (
-                "prefix caching / LoRA are unsupported under sp")
+            assert block_tables is None, (
+                "prefix caching is unsupported under sp")
             ids, pos, meta = self._spify_prompt(ids, pos, slots,
-                                                prompt_lens)
+                                                prompt_lens,
+                                                lora_indices)
         return ids, pos, meta, prompt_lens
 
-    def _spify_prompt(self, ids, pos, slots, prompt_lens):
+    def _spify_prompt(self, ids, pos, slots, prompt_lens,
+                      lora_indices=None):
         """Block-strided sp layout for a prompt batch: permute the
         token axis so rank r's contiguous slice holds the tokens of
         logical blocks r, r+sp, ... (the allocator placed those blocks
@@ -449,10 +451,19 @@ class ModelRunner:
             np.concatenate([np.arange(j * s, (j + 1) * s)
                             for j in range(lmax // s)
                             if j % sp == r]) for r in range(sp)])
+        if lora_indices is not None:
+            # Pad tokens select no adapter; real tokens carry their
+            # row's adapter through the same permutation.
+            lora_indices = np.pad(lora_indices, ((0, 0), (0, extra)),
+                                  constant_values=-1)
+            lora_indices = np.where(pad, -1,
+                                    lora_indices)[:, perm].astype(
+                                        np.int32)
         meta = InputMetadata(
             is_prompt=True,
             slot_mapping=slots[:, perm],
             prompt_lens=prompt_lens,
+            lora_indices=lora_indices,
         )
         return ids[:, perm], pos[:, perm].astype(np.int32), meta
 
@@ -506,7 +517,6 @@ class ModelRunner:
         ids_arr = np.asarray(ids + [0] * pad, np.int32)
         pos_arr = np.asarray(pos + [0] * pad, np.int32)
         if self.ctx.sp_size > 1:
-            assert lora_indices is None, "LoRA is unsupported under sp"
             meta = self._spify_decode(meta)
         return ids_arr, pos_arr, meta, np.zeros(b, np.int32)
 
@@ -555,6 +565,7 @@ class ModelRunner:
             slot_mapping=sl_l,
             context_lens=cl_l,
             block_tables=bt_l,
+            lora_indices=meta.lora_indices,   # [B], replicated over sp
         )
 
     # -- execution ---------------------------------------------------------
