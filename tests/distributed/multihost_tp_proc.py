@@ -1,19 +1,23 @@
-"""Subprocess body for the 2-process x tp=2 sharded-step test.
+"""Subprocess body for the 2-process sharded-step tests (tp=2 or pp=2).
 
-Each process contributes ONE cpu device to a global tp=2 mesh — the
-tensor-parallel axis spans the two processes, so the jitted sharded
-step's psum/all_gather collectives ride the (gloo) cross-process
-transport while the driver/follower payload broadcast carries the step
-inputs: the exact broadcast + shard_map composition a multi-host TP
-deployment runs (reference: vllm/worker/worker.py:191-226 metadata
-broadcast feeding NCCL-TP workers).
+Each process contributes ONE cpu device to a global 2-device mesh —
+the chosen parallel axis spans the two processes, so the jitted step's
+collectives ride the (gloo) cross-process transport while the
+driver/follower payload broadcast carries the step inputs: the exact
+broadcast + shard_map composition a real multi-host deployment runs
+(reference: vllm/worker/worker.py:191-226 metadata broadcast feeding
+NCCL-TP workers — which reference PP never reached, config.py:388).
 
-Checks vs a tp=1 reference (computed by the parent, passed as JSON):
- * rank 0's greedy sampled tokens match the tp=1 tokens exactly;
- * the global KV-pool checksum (sum over both ranks' head-shards)
-   matches the tp=1 pool checksum.
+mode "tp": per-layer psum/all_gather cross the process boundary.
+mode "pp": the GPipe schedule's ppermute activation hops cross it —
+each process holds one stage's layers and stacked KV pool shard.
+
+Checks vs a single-device reference (computed by the parent, JSON):
+ * rank 0's greedy sampled tokens match exactly;
+ * the global KV-pool checksum (sum over both ranks' shards) matches.
 
 Usage: python multihost_tp_proc.py <rank> <port> <model_dir> <ref_json>
+       [tp|pp]
 """
 import json
 import os
@@ -26,7 +30,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 sys.path.insert(0, REPO)
 
 
-def main(rank: int, port: int, model_dir: str, ref_path: str) -> None:
+def main(rank: int, port: int, model_dir: str, ref_path: str,
+         mode: str = "tp") -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -50,15 +55,21 @@ def main(rank: int, port: int, model_dir: str, ref_path: str) -> None:
     with open(ref_path) as f:
         ref = json.load(f)
 
-    mesh = make_mesh(tensor_parallel_size=2)
-    ctx = ParallelContext(tp_size=2)
+    if mode == "pp":
+        mesh = make_mesh(pipeline_parallel_size=2)
+        ctx = ParallelContext(pp_size=2)
+        parallel_config = ParallelConfig(2, 1)
+    else:
+        mesh = make_mesh(tensor_parallel_size=2)
+        ctx = ParallelContext(tp_size=2)
+        parallel_config = ParallelConfig(1, 2)
     cache_config = CacheConfig(16, 0.9, 1, "auto")
     cache_config.num_gpu_blocks = 16
     cache_config.num_cpu_blocks = 8
     worker = Worker(
         ModelConfig(model=model_dir, dtype="float32", seed=0,
                     max_model_len=128),
-        ParallelConfig(1, 2), SchedulerConfig(2048, 16, 128, 128),
+        parallel_config, SchedulerConfig(2048, 16, 128, 128),
         DeviceConfig(), cache_config, ctx=ctx, mesh=mesh)
     worker.load_model()
     worker.init_cache_engine(cache_config)
@@ -94,8 +105,11 @@ def main(rank: int, port: int, model_dir: str, ref_path: str) -> None:
     local = 0.0
     for c in worker.cache_engine.device_cache:
         for shard in c.addressable_shards:
-            local += float(np.abs(np.asarray(shard.data,
-                                             dtype=np.float64)).sum())
+            d = np.asarray(shard.data, dtype=np.float64)
+            # Exclude the null block (0): pad rows and pp don't-care
+            # ticks write don't-care data there.
+            d = d[:, 1:] if d.ndim == 6 else d[1:]
+            local += float(np.abs(d).sum())
     both = multihost_utils.process_allgather(np.asarray([local]))
     total = float(both.sum())
     assert total > 0, "no KV ever written"
@@ -105,4 +119,5 @@ def main(rank: int, port: int, model_dir: str, ref_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else "tp")

@@ -70,13 +70,18 @@ def _tp1_reference(model_dir):
         tokens.append(tok)
         outputs.append(tok)
     pool_sum = sum(
-        float(abs(np.asarray(c, dtype=np.float64)).sum())
+        float(abs(np.asarray(c, dtype=np.float64)[1:]).sum())
         for c in worker.cache_engine.device_cache)
     return tokens, pool_sum
 
 
 @pytest.mark.timeout(300)
-def test_two_process_tp2_sharded_step(tmp_path):
+@pytest.mark.parametrize("mode", ["tp", "pp"])
+def test_two_process_sharded_step(tmp_path, mode):
+    """mode 'tp': per-layer collectives cross the process boundary.
+    mode 'pp': each process is one pipeline stage — the GPipe
+    schedule's ppermute activation hops cross it (the deployment shape
+    PP exists for; the reference never got here, config.py:388)."""
     model_dir = make_tiny_llama_dir()
     tokens, pool_sum = _tp1_reference(model_dir)
     ref_path = tmp_path / "ref.json"
@@ -89,7 +94,7 @@ def test_two_process_tp2_sharded_step(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, _HELPER, str(rank), str(port), model_dir,
-             str(ref_path)],
+             str(ref_path), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for rank in (0, 1)
