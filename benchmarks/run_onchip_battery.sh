@@ -17,7 +17,11 @@ say() { echo; echo "#### $* [$(date -u +%H:%M:%S)]"; }
 run() { # run <timeout-s> <label> cmd...
     local t=$1 label=$2; shift 2
     say "$label"
-    timeout "$t" "$@" 2>&1 | grep -v -E "WARN|INFO|absl|libtpu|oneDNN|cudart|torch_dtype" \
+    # grep exiting 1 just means every line was filtered noise — only
+    # the command's own failure (via pipefail) marks the step FAILED.
+    timeout "$t" "$@" 2>&1 \
+        | { grep -v -E "WARN|INFO|absl|libtpu|oneDNN|cudart|torch_dtype" \
+            || [ $? -eq 1 ]; } \
         || echo "!! $label FAILED/timeout"
 }
 

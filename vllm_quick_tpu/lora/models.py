@@ -134,10 +134,14 @@ class LoRAModelManager:
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _init_stacks(self) -> None:
-        for layer in self.layers:
+        # Dims are cached so slot writes never need the base weights —
+        # strip_base_weights() can then drop them from self.layers.
+        self._dims: Dict[Tuple[int, str], Tuple[int, int]] = {}
+        for li, layer in enumerate(self.layers):
             for key, targets in self.target_map.items():
                 lw = layer[key]
                 k, n = self._global_dims(lw)
+                self._dims[(li, key)] = (k, n)
                 r_total = len(targets) * self.max_rank
                 lw.lora_a = self._place(
                     jnp.zeros((self.capacity, k, r_total),
@@ -145,6 +149,20 @@ class LoRAModelManager:
                 lw.lora_b = self._place(
                     jnp.zeros((self.capacity, r_total, n),
                               dtype=self.dtype), lw.shard, "b")
+
+    def strip_base_weights(self) -> None:
+        """Drop every reference to base weights: self.layers becomes
+        lightweight per-layer dicts holding ONLY the LoRA target
+        entries, each stripped to (shard, lora_a, lora_b). Called by
+        the pp runner after restructuring params so the original
+        full-weight tree can be freed — slot writes use the cached
+        dims, never the base arrays."""
+        import dataclasses as _dc
+        self.layers = [
+            {key: _dc.replace(layer[key], w=None, qw=None, bias=None)
+             for key in self.target_map}
+            for layer in self.layers
+        ]
 
     # -- slot management -----------------------------------------------------
 
@@ -204,7 +222,7 @@ class LoRAModelManager:
         for li, layer in enumerate(self.layers):
             for key, targets in self.target_map.items():
                 lw = layer[key]
-                k_g, n_g = self._global_dims(lw)
+                k_g, n_g = self._dims[(li, key)]
                 n_local = n_g // (tp if lw.shard == "col" else 1)
                 r_total = len(targets) * self.max_rank
                 a = np.zeros((k_g, r_total), np.float32)

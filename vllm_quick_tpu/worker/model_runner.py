@@ -152,19 +152,19 @@ class ModelRunner:
         assert self.model.num_layers % pp == 0, (
             f"num_layers={self.model.num_layers} must divide by "
             f"pipeline_parallel_size={pp}")
-        # The LoRA manager keeps mutating the ORIGINAL per-layer
-        # LinearWeights; the pp tree holds stacked copies that
-        # _refresh_pp_lora re-syncs when the manager's version moves.
-        # Retained ONLY under LoRA (the manager pins that tree anyway
-        # via mgr.layers); without it the originals are freed after
-        # build_pp_params so per-chip weight HBM really divides by pp.
-        self._pp_src_layers = (self.params["layers"]
-                               if self.lora_manager is not None
-                               else None)
         self._pp_lora_ver = -1
         self.params, specs = build_pp_params(self.params, pp, self.mesh,
                                              tp_axis=self.ctx.tp_axis)
         self._param_specs = specs
+        self._pp_src_layers = None
+        if self.lora_manager is not None:
+            # The manager keeps mutating per-layer lora stacks that
+            # _refresh_pp_lora re-stacks into the pp tree when the
+            # manager's version moves. Strip the manager's view down
+            # to just those stacks so the original full-weight tree is
+            # freed and per-chip weight HBM really divides by pp.
+            self.lora_manager.manager.strip_base_weights()
+            self._pp_src_layers = self.lora_manager.manager.layers
         self._pp_prefill_step = make_pp_sharded_step(
             self.model, self.mesh, specs, pp, num_microbatches=pp,
             is_prompt=True, tp_axis=self.ctx.tp_axis)

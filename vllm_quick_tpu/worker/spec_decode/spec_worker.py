@@ -219,6 +219,8 @@ class SpecDecodeWorker(Worker):
         datas = [m.seq_data[s] for m, s in zip(metas, sids)]
         n_real = len(metas)
         b = pad_to_bucket(n_real, _DECODE_BATCH_BUCKETS)
+        # The pp schedule slices b into pp microbatches.
+        b = max(b, self.ctx.pp_size)
 
         lens = np.ones(b, np.int64)
         lens[:n_real] = [d.get_len() for d in datas]

@@ -109,10 +109,13 @@ class Worker:
         max_mappable = self.scheduler_config.max_num_seqs * (
             -(-self.model_config.max_model_len // block_size))
         num_device_blocks = min(num_device_blocks, max_mappable)
-        # The host swap pool holds every stage's layers, so under pp a
-        # host block costs pp x the per-chip bytes.
+        # The host swap pool holds every stage's layers AND every tp
+        # shard's KV heads (cache_engine num_kv_heads = local * tp), so
+        # a host block costs pp * tp x the per-chip bytes.
         pp = getattr(self.parallel_config, "pipeline_parallel_size", 1)
-        num_cpu_blocks = int(cpu_swap_space // (cache_block_size * pp))
+        tp = self.parallel_config.tensor_parallel_size
+        num_cpu_blocks = int(cpu_swap_space
+                             // (cache_block_size * pp * max(tp, 1)))
         num_cpu_blocks = min(num_cpu_blocks, max_mappable)
         # Multihost: every host must size the identical pool
         # (reference llm_engine.py:334 min across workers).
