@@ -10,8 +10,9 @@ set -u -o pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=${OUT:-/root/repo/benchmarks/BATTERY_RESULTS.txt}
-CKPT7B=/root/ckpts/llama7b_awq_synth
-CKPT1B=/root/ckpts/llama1b_awq_synth
+CKPTS=${CKPTS:-/root/ckpts}
+CKPT7B=$CKPTS/llama7b_awq_synth
+CKPT1B=$CKPTS/llama1b_awq_synth
 
 say() { echo; echo "#### $* [$(date -u +%H:%M:%S)]"; }
 run() { # run <timeout-s> <label> cmd...
