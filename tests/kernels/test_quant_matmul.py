@@ -223,64 +223,3 @@ def test_fused_mlp_norm_matches_composed_path(t, d, f):
                                np.asarray(r_want.astype(jnp.bfloat16),
                                           np.float32),
                                rtol=2e-2, atol=2e-2)
-
-
-@pytest.mark.parametrize("t", [1, 3])
-@pytest.mark.parametrize("with_qkv", [True, False])
-def test_fused_layer_linears_matches_composed(t, with_qkv):
-    """The whole-layer linears kernel (o + norm + MLP + norm [+ next
-    qkv]) vs the composed reference chain (interpret mode)."""
-    import jax
-    from vllm_quick_tpu.ops.quant_matmul import (fused_layer_linears,
-                                                 layer_linears_fusable)
-
-    d, f, nq = 1024, 768, 1536
-    eps = 1e-5
-    rng = np.random.default_rng(t + 7 * with_qkv)
-
-    def qw(k, n):
-        return qf.quantize_reference(
-            rng.standard_normal((k, n)).astype(np.float32) * 0.05)
-
-    qw_o = qw(d, d)
-    qw13 = qf.quantize_reference(np.concatenate(
-        [rng.standard_normal((d, f)).astype(np.float32) * 0.05,
-         rng.standard_normal((d, f)).astype(np.float32) * 0.05], axis=1))
-    qw2 = qw(f, d)
-    qw_qkv = qw(d, nq) if with_qkv else None
-    assert layer_linears_fusable(qw_o, qw13, qw2, qw_qkv)
-
-    ao = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
-    res = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
-    wp = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)), jnp.bfloat16)
-    wn = jnp.asarray(1.0 - 0.1 * rng.standard_normal((d,)), jnp.bfloat16)
-
-    out, r2 = fused_layer_linears(ao, res, wp, wn, qw_o, qw13, qw2,
-                                  qw_qkv, eps=eps, interpret=True)
-
-    def norm(v, w):
-        var = jnp.mean(v * v, axis=-1, keepdims=True)
-        return (v * jax.lax.rsqrt(var + eps)
-                * w.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    y_o = qf.quant_matmul_ref(ao, qw_o).astype(jnp.float32)
-    r1 = y_o + res.astype(jnp.float32)
-    x1 = norm(r1, wp)
-    gu = qf.quant_matmul_ref(x1, qw13)
-    g, u = jnp.split(gu, 2, axis=-1)
-    hh = (jax.nn.silu(g.astype(jnp.float32))
-          * u.astype(jnp.float32)).astype(jnp.bfloat16)
-    y = qf.quant_matmul_ref(hh, qw2).astype(jnp.float32)
-    r2_want = y + r1.astype(jnp.bfloat16).astype(jnp.float32)
-    x2 = norm(r2_want, wn)
-    want = (qf.quant_matmul_ref(x2, qw_qkv) if with_qkv
-            else x2).astype(jnp.float32)
-
-    want = np.asarray(want)
-    scale = np.abs(want).max() + 1e-6
-    assert np.abs(np.asarray(out, np.float32) - want).max() / scale \
-        < 3e-2
-    r2_np = np.asarray(r2, np.float32)
-    r2_w = np.asarray(r2_want.astype(jnp.bfloat16), np.float32)
-    sc_r = np.abs(r2_w).max() + 1e-6
-    assert np.abs(r2_np - r2_w).max() / sc_r < 3e-2

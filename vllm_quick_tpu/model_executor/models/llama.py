@@ -86,9 +86,6 @@ class LlamaForCausalLM:
         meta: InputMetadata,
     ) -> Tuple[jax.Array, List[KVCache]]:
         h = embed(params["embed"], input_ids, self.ctx)
-        if self._rolling_ok(params, h, meta):
-            return self._forward_rolling(params, h, positions, kv_caches,
-                                         meta)
         residual = None
         new_caches = []
         for i, layer in enumerate(params["layers"]):
@@ -138,65 +135,6 @@ class LlamaForCausalLM:
         out = apply_linear(layer["o"], out, li)
         out = self.ctx.tp_all_reduce(out)
         return out, kv_cache
-
-    def _rolling_ok(self, params, h, meta):
-        """Static gate for the rolling fused-linears decode path: one
-        Pallas call covers o+norm+MLP+norm+next-qkv per layer
-        (ops/quant_matmul.fused_layer_linears). Decode only, tp=1 (the
-        o/down partial sums would need a psum before their residual
-        adds), no LoRA/bias, i8pair weights throughout. Opt-in via
-        VLLM_TPU_ROLLING=1 until validated faster on chip (the
-        whole-layer Mosaic compile is heavy)."""
-        if (meta.is_prompt or meta.block_tables is None
-                or meta.lora_indices is not None or h.ndim != 2
-                or not self._use_fused_mlp
-                or self.ctx.tp_size != 1
-                or not os.environ.get("VLLM_TPU_ROLLING")):
-            return False
-        from vllm_quick_tpu.ops.quant_matmul import (
-            FUSED_KERNEL_MAX_TOKENS, default_backend_is_tpu,
-            layer_linears_fusable)
-        if (h.shape[0] > FUSED_KERNEL_MAX_TOKENS
-                or not default_backend_is_tpu()):
-            return False
-        layers = params["layers"]
-        for i, layer in enumerate(layers):
-            ws = [layer.get(k) for k in ("qkv", "o", "gate_up", "down")]
-            if any(w is None or w.qw is None or w.bias is not None
-                   or w.lora_a is not None for w in ws):
-                return False
-            nxt = layers[i + 1]["qkv"].qw if i + 1 < len(layers) else None
-            if not layer_linears_fusable(layer["o"].qw,
-                                         layer["gate_up"].qw,
-                                         layer["down"].qw, nxt):
-                return False
-        return True
-
-    def _forward_rolling(self, params, h, positions, kv_caches, meta):
-        """Decode forward with the layer boundary shifted: attention
-        kernel + one fused-linears kernel per layer (2 pallas calls),
-        the latter emitting the NEXT layer's qkv (or, at the last
-        layer, the final-norm hidden for the LM head)."""
-        from vllm_quick_tpu.ops.quant_matmul import fused_layer_linears
-        layers = params["layers"]
-        r = h
-        x = rms_norm(h, layers[0]["input_norm"], self.rms_eps)
-        qkv = apply_linear(layers[0]["qkv"], x)
-        new_caches = []
-        for i, layer in enumerate(layers):
-            ao, cache = self._attention_core(qkv, positions,
-                                             kv_caches[i], meta)
-            new_caches.append(cache)
-            nxt = layers[i + 1] if i + 1 < len(layers) else None
-            qkv, r = fused_layer_linears(
-                ao, r, layer["post_norm"],
-                (nxt["input_norm"] if nxt is not None
-                 else params["final_norm"]),
-                layer["o"].qw, layer["gate_up"].qw, layer["down"].qw,
-                None if nxt is None else nxt["qkv"].qw,
-                eps=self.rms_eps)
-        # The last call's first output is the final-norm hidden.
-        return qkv, new_caches
 
     # -- pipeline-parallel stage hooks (parallel/pipeline.py) --------------
 

@@ -455,272 +455,6 @@ def fused_mlp_norm(h: jax.Array, res: jax.Array, w_norm: jax.Array,
             r[:m].reshape(*lead, k))
 
 
-_TILE_KO = 1024  # K-rows per o-proj stream step (4 superblocks -> (8,N)
-                 # scale blocks, satisfying the sublane rule)
-_TILE_Q = 512    # lane width of one qkv output tile
-
-
-def layer_linears_fusable(qw_o: QuantizedWeight, qw13: QuantizedWeight,
-                          qw2: QuantizedWeight,
-                          qw_qkv: Optional[QuantizedWeight] = None) -> bool:
-    """Static gate for :func:`fused_layer_linears` (tp=1 shapes)."""
-    d = qw13.in_features
-    ok = (qw_o.fmt == "i8pair" and qw_o.perm is None
-          and qw_o.padded_out == qw_o.out_features == d
-          and qw_o.padded_in == qw_o.in_features
-          and qw_o.in_features % _TILE_KO == 0
-          and mlp_fusable(qw13, qw2)
-          and qw13.padded_in == d and d % SUPERBLOCK == 0
-          and qw2.padded_out == qw2.out_features == d)
-    if qw_qkv is not None:
-        ok = ok and (qw_qkv.fmt == "i8pair" and qw_qkv.perm is None
-                     and qw_qkv.padded_in == qw_qkv.in_features == d
-                     and qw_qkv.padded_out == qw_qkv.out_features
-                     and qw_qkv.padded_out % _TILE_Q == 0)
-    return ok
-
-
-def _layer_linears_kernel(*refs, k1p: int, tile_f: int, so_steps: int,
-                          steps_f: int, tile_q: int, eps: float,
-                          with_qkv: bool):
-    """One pallas call = every linear of a decoder layer plus the next
-    layer's input norm and qkv projection (decode batches):
-
-      phase O   [0, so_steps)      : y_o  = ao @ Wo          (K-phased)
-      norm1     j == so_steps      : r1 = y_o + res; x = rms(r1)*w_post
-      phase MLP [so_steps, base)   : y = silu(x@Wg)*(x@Wu) @ W2 (F-tiled)
-      norm2     j == base          : r2 = y + r1; x2 = rms(r2)*w_next
-      phase QKV [base, base+tq)    : qkv = x2 @ Wqkv_next    (N-tiled)
-
-    All four weight streams run back to back through one pipeline — no
-    attention or DMA phase interrupts the HBM stream (the full
-    attention megakernel measured slower for exactly that reason, see
-    BREAKDOWN.md). with_qkv=False (last layer) emits x2 itself — the
-    final-norm hidden the LM head consumes — after a single epilogue
-    step. Replaces per layer: the o/gate/up/down AWQ GEMMs
-    (csrc/quantization/awq/gemm_kernels.cu:31), both fused_add_rms_norm
-    calls (csrc/layernorm_kernels.cu:40) and silu_and_mul
-    (csrc/activation_kernels.cu:17)."""
-    if with_qkv:
-        (ao_ref, res_ref, wp_ref, wn2_ref, po_ref, so_ref, zo_ref,
-         pg_ref, sg_ref, zg_ref, pu_ref, su_ref, zu_ref,
-         p2_ref, s2_ref, z2_ref, pq_ref, sq_ref, zq_ref,
-         out_ref, r2_ref, y_acc, r1_ref, xn_ref) = refs
-    else:
-        (ao_ref, res_ref, wp_ref, wn2_ref, po_ref, so_ref, zo_ref,
-         pg_ref, sg_ref, zg_ref, pu_ref, su_ref, zu_ref,
-         p2_ref, s2_ref, z2_ref,
-         out_ref, r2_ref, y_acc, r1_ref, xn_ref) = refs
-    j = pl.program_id(0)
-    half = SUPERBLOCK // 2
-    base = so_steps + steps_f
-    mp = res_ref.shape[0]
-
-    def stream_dot(x_ref, p_ref, s_ref, z_ref, acc):
-        n_sb = 2 * p_ref.shape[0] // SUPERBLOCK
-        for sb in range(n_sb):
-            p = p_ref[sb * half:(sb + 1) * half, :]
-            xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
-            xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
-            slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
-            shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
-            zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
-            acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
-        return acc
-
-    @pl.when(j == 0)
-    def _init():
-        y_acc[:] = jnp.zeros_like(y_acc)
-
-    @pl.when(j < so_steps)
-    def _o_tile():
-        y_acc[:] = stream_dot(ao_ref, po_ref, so_ref, zo_ref, y_acc[:])
-
-    @pl.when(j == so_steps)
-    def _norm1():
-        r1 = y_acc[:] + res_ref[:].astype(jnp.float32)
-        r1_ref[:] = r1.astype(r1_ref.dtype)
-        var = jnp.mean(r1 * r1, axis=1, keepdims=True)
-        xn_ref[:] = (r1 * jax.lax.rsqrt(var + eps)
-                     * wp_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-        y_acc[:] = jnp.zeros_like(y_acc)
-
-    @pl.when(jnp.logical_and(j >= so_steps, j < base))
-    def _mlp_tile():
-        zero = jnp.zeros((mp, tile_f), jnp.float32)
-        gate = stream_dot(xn_ref, pg_ref, sg_ref, zg_ref, zero)
-        up = stream_dot(xn_ref, pu_ref, su_ref, zu_ref, zero)
-        h = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
-        s2 = s2_ref[0].astype(jnp.float32)
-        z2 = z2_ref[0].astype(jnp.float32)
-        y_acc[:] = y_acc[:] + _sb_contribution(
-            h[:, :half], h[:, half:], p2_ref[...],
-            s2[0:1, :], s2[1:2, :], z2[0:1, :], z2[1:2, :])
-
-    @pl.when(j == base)
-    def _norm2():
-        r2 = y_acc[:] + r1_ref[:].astype(jnp.float32)
-        r2_ref[:] = r2.astype(r2_ref.dtype)
-        var = jnp.mean(r2 * r2, axis=1, keepdims=True)
-        xn2 = (r2 * jax.lax.rsqrt(var + eps)
-               * wn2_ref[:].astype(jnp.float32))
-        if with_qkv:
-            xn_ref[:] = xn2.astype(jnp.bfloat16)
-        else:
-            out_ref[:] = xn2.astype(out_ref.dtype)
-
-    if with_qkv:
-        @pl.when(j >= base)
-        def _qkv_tile():
-            acc = stream_dot(xn_ref, pq_ref, sq_ref, zq_ref,
-                             jnp.zeros((mp, tile_q), jnp.float32))
-            out_ref[:] = acc.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
-                                             "interpret"))
-def _layer_linears_2d(ao, res, wp, wn2, qw_o: QuantizedWeight,
-                      qw13: QuantizedWeight, qw2: QuantizedWeight,
-                      qw_qkv: Optional[QuantizedWeight], *, eps: float,
-                      out_dtype=jnp.bfloat16, interpret: bool = False):
-    mp, ko = ao.shape
-    d = qw13.in_features
-    k1p = d
-    f = qw2.in_features
-    fp2 = qw2.padded_in
-    tile_f = SUPERBLOCK
-    so_steps = ko // _TILE_KO
-    steps_f = fp2 // tile_f
-    base = so_steps + steps_f
-    gate_last = f // tile_f - 1
-    up_base = f // tile_f
-    with_qkv = qw_qkv is not None
-    tq = (qw_qkv.padded_out // _TILE_Q) if with_qkv else 0
-    grid = base + (tq if with_qkv else 1)
-
-    def o_idx(j):
-        return jnp.minimum(j, so_steps - 1)
-
-    def g_idx(j):
-        return jnp.clip(j - so_steps, 0, gate_last)
-
-    def w2_idx(j):
-        return jnp.clip(j - so_steps, 0, steps_f - 1)
-
-    def q_idx(j):
-        return jnp.clip(j - base, 0, tq - 1)
-
-    eg = EFF_GROUP
-    in_specs = [
-        pl.BlockSpec((mp, _TILE_KO), lambda j: (0, o_idx(j))),      # ao
-        pl.BlockSpec((mp, d), lambda j: (0, 0)),                    # res
-        pl.BlockSpec((1, d), lambda j: (0, 0)),                     # wp
-        pl.BlockSpec((1, d), lambda j: (0, 0)),                     # wn2
-        pl.BlockSpec((_TILE_KO // 2, d), lambda j: (o_idx(j), 0)),  # Wo
-        pl.BlockSpec((_TILE_KO // eg, d), lambda j: (o_idx(j), 0)),
-        pl.BlockSpec((_TILE_KO // eg, d), lambda j: (o_idx(j), 0)),
-        pl.BlockSpec((k1p // 2, tile_f), lambda j: (0, g_idx(j))),  # Wg
-        pl.BlockSpec((k1p // eg, tile_f), lambda j: (0, g_idx(j))),
-        pl.BlockSpec((k1p // eg, tile_f), lambda j: (0, g_idx(j))),
-        pl.BlockSpec((k1p // 2, tile_f),
-                     lambda j: (0, up_base + g_idx(j))),            # Wu
-        pl.BlockSpec((k1p // eg, tile_f),
-                     lambda j: (0, up_base + g_idx(j))),
-        pl.BlockSpec((k1p // eg, tile_f),
-                     lambda j: (0, up_base + g_idx(j))),
-        pl.BlockSpec((tile_f // 2, d), lambda j: (w2_idx(j), 0)),   # W2
-        pl.BlockSpec((1, 2, d), lambda j: (w2_idx(j), 0, 0)),
-        pl.BlockSpec((1, 2, d), lambda j: (w2_idx(j), 0, 0)),
-    ]
-    operands = [ao, res, wp, wn2, qw_o.packed, qw_o.scales, qw_o.zeros,
-                qw13.packed, qw13.scales, qw13.zeros, qw13.packed,
-                qw13.scales, qw13.zeros, qw2.packed,
-                qw2.scales.reshape(steps_f, 2, d),
-                qw2.zeros.reshape(steps_f, 2, d)]
-    if with_qkv:
-        nqp = qw_qkv.padded_out
-        in_specs += [
-            pl.BlockSpec((k1p // 2, _TILE_Q), lambda j: (0, q_idx(j))),
-            pl.BlockSpec((k1p // eg, _TILE_Q), lambda j: (0, q_idx(j))),
-            pl.BlockSpec((k1p // eg, _TILE_Q), lambda j: (0, q_idx(j))),
-        ]
-        operands += [qw_qkv.packed, qw_qkv.scales, qw_qkv.zeros]
-        out_spec0 = pl.BlockSpec((mp, _TILE_Q), lambda j: (0, q_idx(j)))
-        out_shape0 = jax.ShapeDtypeStruct((mp, nqp), out_dtype)
-    else:
-        out_spec0 = pl.BlockSpec((mp, d), lambda j: (0, 0))
-        out_shape0 = jax.ShapeDtypeStruct((mp, d), out_dtype)
-
-    kernel = functools.partial(
-        _layer_linears_kernel, k1p=k1p, tile_f=tile_f,
-        so_steps=so_steps, steps_f=steps_f, tile_q=_TILE_Q,
-        eps=eps, with_qkv=with_qkv)
-    nq = qw_qkv.padded_out if with_qkv else 0
-    flops = 2 * mp * (ko * d + k1p * 2 * f + f * d + k1p * nq)
-    bytes_accessed = (ko * d // 2 + k1p * f + fp2 * d // 2
-                      + k1p * nq // 2
-                      + 2 * (ko // eg) * d * 2
-                      + 2 * (k1p // eg) * (2 * f + nq) * 2
-                      + 2 * (fp2 // eg) * d * 2)
-    return pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=in_specs,
-        out_specs=(out_spec0, pl.BlockSpec((mp, d), lambda j: (0, 0))),
-        out_shape=(out_shape0,
-                   jax.ShapeDtypeStruct((mp, d), out_dtype)),
-        scratch_shapes=[pltpu.VMEM((mp, d), jnp.float32),
-                        pltpu.VMEM((mp, d), jnp.bfloat16),
-                        pltpu.VMEM((mp, k1p), jnp.bfloat16)],
-        cost_estimate=pl.CostEstimate(flops=flops,
-                                      bytes_accessed=bytes_accessed,
-                                      transcendentals=mp * f),
-        interpret=interpret,
-    )(*operands)
-
-
-def fused_layer_linears(ao: jax.Array, res: jax.Array, w_post: jax.Array,
-                        w_next: jax.Array, qw_o: QuantizedWeight,
-                        qw13: QuantizedWeight, qw2: QuantizedWeight,
-                        qw_qkv: Optional[QuantizedWeight] = None, *,
-                        eps: float = 1e-6, out_dtype=None,
-                        interpret: Optional[bool] = None):
-    """Whole-layer linear megakernel (decode): from the attention
-    output ``ao`` and running residual ``res``, computes o-proj, both
-    residual norms, the SwiGLU MLP and — when ``qw_qkv`` is given — the
-    *next* layer's qkv projection, in ONE pallas call.
-
-    Returns ``(qkv_next, r2)``, or ``(final_hidden, r2)`` when
-    ``qw_qkv`` is None with ``w_next`` = the final norm weight. Caller
-    checks :func:`layer_linears_fusable`; tp=1 only (o/down partials
-    would need a psum before their residual adds).
-    """
-    out_dtype = out_dtype or ao.dtype
-    *lead, ko = ao.shape
-    m = 1
-    for s in lead:
-        m *= s
-    if interpret is None:
-        interpret = not default_backend_is_tpu()
-    mp = max(8, _round_up(m, 8))
-    d = qw13.in_features
-    ao2 = ao.reshape(m, ko)
-    res2 = res.reshape(m, d)
-    if mp != m:
-        ao2 = jnp.pad(ao2, ((0, mp - m), (0, 0)))
-        res2 = jnp.pad(res2, ((0, mp - m), (0, 0)))
-    out, r2 = _layer_linears_2d(
-        ao2.astype(jnp.bfloat16), res2.astype(jnp.bfloat16),
-        w_post.astype(jnp.bfloat16).reshape(1, d),
-        w_next.astype(jnp.bfloat16).reshape(1, d),
-        qw_o, qw13, qw2, qw_qkv, eps=float(eps), out_dtype=out_dtype,
-        interpret=interpret)
-    n_out = qw_qkv.out_features if qw_qkv is not None else d
-    return (out[:m, :n_out].reshape(*lead, n_out),
-            r2[:m].reshape(*lead, d))
-
-
 def fused_mlp(x: jax.Array, qw13: QuantizedWeight, qw2: QuantizedWeight,
               *, out_dtype=None,
               interpret: Optional[bool] = None) -> jax.Array:
