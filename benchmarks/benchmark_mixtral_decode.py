@@ -99,12 +99,18 @@ def run_depth(n_layers: int, batch: int, ctx_len: int) -> float:
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     ctx_len = int(os.environ.get("BENCH_CTX", "512"))
-    d_lo, d_hi = (int(x) for x in
-                  os.environ.get("MIXTRAL_LAYERS", "2,4").split(","))
-    ms_lo = run_depth(d_lo, batch, ctx_len)
-    ms_hi = run_depth(d_hi, batch, ctx_len)
-    per_layer = (ms_hi - ms_lo) / (d_hi - d_lo)
-    fixed = max(ms_lo - d_lo * per_layer, 0.0)
+    depths = [int(x) for x in
+              os.environ.get("MIXTRAL_LAYERS", "2,4").split(",")]
+    assert len(depths) >= 2, "need at least two layer depths"
+    ms = [run_depth(d, batch, ctx_len) for d in depths]
+    # Least-squares slope over all depths (2+ points; the round-3
+    # battery passed 2,4,8 and the two-value unpack crashed).
+    import numpy as _np
+    per_layer, fixed = _np.polyfit(_np.asarray(depths, float),
+                                   _np.asarray(ms, float), 1)
+    for d, m in zip(depths, ms):
+        print(f"# depth {d}: {m:.3f} ms/step")
+    fixed = max(fixed, 0.0)
     full_ms = fixed + 32 * per_layer
     print(json.dumps({
         "metric": "mixtral_int4_decode_tok_s_extrapolated_32layer",

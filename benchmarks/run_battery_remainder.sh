@@ -41,18 +41,15 @@ run 2700 "S3. spec decode" python benchmarks/benchmark_spec_decode.py \
 run 2700 "S4. mixtral 2,4,8 layers" env MIXTRAL_LAYERS=2,4,8 \
     python benchmarks/benchmark_mixtral_decode.py
 
-# Prefill rows (VERDICT item 3).
-run 1200 "S5. prefill ctx512" env BENCH_PREFILL=1 BENCH_CTX=512 python bench.py
-run 1200 "S6. prefill ctx2048" env BENCH_PREFILL=1 BENCH_CTX=2048 python bench.py
-
-# fp8 batch-1 retry under the i8 dequant kernel (VERDICT weak 5).
-run 1200 "S7. batch1 fp8 retry" env BENCH_KV_DTYPE=fp8_e5m2 BENCH_BLOCK=32 python bench.py
-run 1200 "S8. batch32 fp8" env BENCH_BATCH=32 BENCH_KV_DTYPE=fp8_e5m2 BENCH_BLOCK=32 python bench.py
-
-# Latency percentiles.
+# Latency percentiles (was S9; promoted ahead of the re-run rows so a
+# wall-clock-limited pass captures the still-missing measurement first).
 run 1800 "S9. latency batch8" python benchmarks/benchmark_latency.py \
     --model "$CKPT7B" --input-len 128 --output-len 64 --batch-size 8 \
     --num-iters 3
+
+# S5-S8 (prefill ctx512/2048, fp8 batch-1 retry, batch-32 fp8) were
+# dropped: BATTERY_RESULTS.txt already records them as completed
+# (7a/7b/6c/6b); re-running duplicates ~80 min of chip time.
 
 # Compile-check the partials decode kernel at 7B decode shapes.
 run 1200 "S10. partials kernel compile" python - <<'EOF'

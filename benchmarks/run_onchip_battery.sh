@@ -20,10 +20,21 @@ run() { # run <timeout-s> <label> cmd...
     say "$label"
     # grep exiting 1 just means every line was filtered noise — only
     # the command's own failure (via pipefail) marks the step FAILED.
-    timeout "$t" "$@" 2>&1 \
-        | { grep -v -E "WARN|INFO|absl|libtpu|oneDNN|cudart|torch_dtype" \
-            || [ $? -eq 1 ]; } \
-        || echo "!! $label FAILED/timeout"
+    # A step whose output carries no parseable metric line is ALSO
+    # marked FAILED (round 3's serving "timeout" hid the real error).
+    local out
+    out=$(timeout "$t" "$@" 2>&1) || {
+        echo "$out" | grep -v -E "WARN|INFO|absl|libtpu" | tail -40
+        echo "!! $label FAILED/timeout"; return 0; }
+    echo "$out" | { grep -v -E \
+        "WARN|INFO|absl|libtpu|oneDNN|cudart|torch_dtype" \
+        || [ $? -eq 1 ]; }
+    if ! echo "$out" | grep -q -E '"metric"|GB/s|tok/s|ms|OK'; then
+        echo "!! $label FAILED: no metric line in output"
+    fi
+    if echo "$out" | grep -q "breakdown-capture: INVALID"; then
+        echo "!! $label FAILED: breakdown capture invalid (glitched rows)"
+    fi
 }
 
 {
@@ -37,8 +48,10 @@ for k in 4 8 16; do
     run 1200 "2. multi-step K=$k" env BENCH_DECODE_STEPS=$k python bench.py
 done
 
-# 3. Rolling fused-linears A/B (heavy Mosaic compile; generous timeout).
-run 2400 "3. rolling fused-linears" env VLLM_TPU_ROLLING=1 python bench.py
+# 3. (removed) The rolling fused-linears A/B: the VLLM_TPU_ROLLING gate
+#    and its code path were deleted after round 3 measured it 4% slower
+#    on chip — re-running the old command would just record a mislabeled
+#    baseline.
 
 # 4. KV-layout probe.
 run 1200 "4. kv-layout probe" python benchmarks/kernels/probe_kv_layout.py

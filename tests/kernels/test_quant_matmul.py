@@ -84,7 +84,44 @@ def test_fused_kernel_matches_reference(rng, m, k, n, fmt):
 def test_large_batch_path(rng):
     w, qw = _make_qw(rng, 512, 256)
     x = jnp.asarray(rng.standard_normal((128, 512)), dtype=jnp.bfloat16)
-    out = quant_matmul(x, qw)  # takes dequant+GEMM path
+    out = quant_matmul(x, qw)  # CPU default: tiled dequant+GEMM path
+    ref = qf.quant_matmul_ref(x, qw)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+PREFILL_SHAPES = [
+    # (M, K, N) — M > FUSED_KERNEL_MAX_TOKENS exercises the 3-D
+    # M-tiled kernel (multiple M/N/K tiles, ragged M padding).
+    (128, 1024, 512),
+    (300, 1024, 256),     # ragged M -> padded to a tile multiple
+    (512, 2048, 1024),    # several k-tiles under the x budget
+]
+
+
+@pytest.mark.parametrize("m,k,n", PREFILL_SHAPES)
+@pytest.mark.parametrize("fmt", ["i8pair", "u4"])
+def test_prefill_kernel_matches_reference(rng, m, k, n, fmt):
+    w, qw = _make_qw(rng, k, n, fmt=fmt)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    ref = qf.quant_matmul_ref(x, qw)
+    out = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_tiled_dequant_fallback_matches_reference(rng):
+    """The memory-bounded N-tiled fallback (ref/sqllm formats and CPU
+    large-M) must agree with the full-matrix reference math."""
+    w, qw = _make_qw(rng, 512, 256, group_size=64)   # exotic -> fmt=ref
+    assert qw.fmt == "ref"
+    x = jnp.asarray(rng.standard_normal((96, 512)), dtype=jnp.bfloat16)
+    from vllm_quick_tpu.ops.quant_matmul import _tiled_dequant_matmul
+    out = _tiled_dequant_matmul(x, qw, tile_n=128)
     ref = qf.quant_matmul_ref(x, qw)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),

@@ -21,7 +21,7 @@ from vllm_quick_tpu.model_executor.layers.linear import (LinearWeights,
                                                          apply_linear)
 from vllm_quick_tpu.model_executor.models.llama import LlamaForCausalLM
 from vllm_quick_tpu.ops.fused_moe import moe_routing
-from vllm_quick_tpu.ops.quant_formats import quant_matmul_ref
+from vllm_quick_tpu.ops.quant_matmul import quant_matmul
 
 
 def _expert_view(stacked, e: int):
@@ -82,8 +82,11 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
                                        self.num_experts, ctx=self.ctx)
             out = out.astype(jnp.float32)
         else:
-            # Prefill: dequantize each expert once (weight bytes are
-            # amortized over many tokens) and run the dense masked path.
+            # Prefill: every expert sees all tokens (dense masked path,
+            # like the reference's mixtral_quant.py:50-120) through the
+            # memory-bounded M-tiled kernel — no expert matrix is ever
+            # dequantized whole (an f32 [4K, 28K] expert temp is ~0.5 GB
+            # and OOM'd engine init on chip in round 3).
             gate = moe_routing(router_logits, self.top_k,
                                renormalize=True)             # [T, E]
             e_local = qw13.packed.shape[0]
@@ -93,11 +96,11 @@ class MixtralQuantForCausalLM(LlamaForCausalLM):
                                                     axis=1)
             out = None
             for e in range(e_local):
-                gu = quant_matmul_ref(xf, _expert_view(qw13, e))
+                gu = quant_matmul(xf, _expert_view(qw13, e))
                 g, u = jnp.split(gu, 2, axis=-1)
                 h = jax.nn.silu(g.astype(jnp.float32)).astype(
                     xf.dtype) * u
-                y = quant_matmul_ref(h, _expert_view(qw2, e)).astype(
+                y = quant_matmul(h, _expert_view(qw2, e)).astype(
                     jnp.float32)
                 y = y * gate[:, e:e + 1]
                 out = y if out is None else out + y

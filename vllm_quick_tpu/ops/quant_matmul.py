@@ -15,9 +15,15 @@ Decode kernel layout (M <= 64 tokens):
    ``(partial - sum(x_g) * z_g) * s_g`` on the [M, TN] partial — scales
    and zero points never touch per-element lanes.
 
-Large-M (prefill) path: dequantize to bf16 and use one XLA GEMM — the
-same >=256-token heuristic as the reference (awq.py:155-162), except the
-cutover is at the point where the MXU, not HBM, becomes the bottleneck.
+Large-M (prefill) kernel (M > 64 tokens): the SAME group-correction
+design — raw nibble-plane MXU dots + per-group corrective math — tiled
+over a 3-D grid (M tiles, N tiles, K tiles). Unlike the reference's
+large-batch path (awq.py:155-162, dequantize the whole matrix to fp16
+then cuBLAS), no dequantized matrix is ever materialized: peak live
+VMEM per step is a few MB of tiles and the HLO holds no [K, N] temp at
+all. This is what lets a 7B model prefill inside 16 GB HBM while the
+MXU stays the bottleneck (nibble extraction is re-done once per M tile;
+VPU cost is ~10-20% of the MXU time at tile_m >= 256).
 """
 import functools
 import os
@@ -38,6 +44,14 @@ FUSED_KERNEL_MAX_TOKENS = 64
 # Packed-weight VMEM tile budget (bytes); doubled by pipeline buffering.
 _TILE_BUDGET = int(os.environ.get("VLLM_TPU_QMM_BUDGET",
                                   3 * 1024 * 1024))
+# Prefill x-tile VMEM budget (bytes, also double-buffered): bounds
+# tile_m * tile_k * 2 in the 3-D kernel so the whole working set stays
+# well inside the ~16 MB VMEM.
+_X_TILE_BUDGET = int(os.environ.get("VLLM_TPU_QMM_XBUDGET",
+                                    2 * 1024 * 1024))
+# Prefill dequantized-tile scratch budget (bytes, single-buffered).
+_W_SCRATCH_BUDGET = int(os.environ.get("VLLM_TPU_QMM_WBUDGET",
+                                       2 * 1024 * 1024))
 # Nibble-extraction variant: "i8" does the mask work at native int8 lane
 # width (4x the density of i32 ops) using the offset-binary identity
 # ``(p & 0xF0) ^ 0x80 == 16*hi - 128`` (linear in hi, so the 16x/-128
@@ -121,8 +135,8 @@ def _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi):
 
 
 def _decode_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                          tile_k: int):
-    k_idx = pl.program_id(1)
+                          tile_k: int, k_axis: int = 1):
+    k_idx = pl.program_id(k_axis)
 
     @pl.when(k_idx == 0)
     def _init():
@@ -145,14 +159,14 @@ def _decode_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
     acc_ref[:] = acc
 
-    @pl.when(k_idx == pl.num_programs(1) - 1)
+    @pl.when(k_idx == pl.num_programs(k_axis) - 1)
     def _done():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _decode_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
-                      tile_k: int):
-    k_idx = pl.program_id(1)
+                      tile_k: int, k_axis: int = 1):
+    k_idx = pl.program_id(k_axis)
 
     @pl.when(k_idx == 0)
     def _init():
@@ -170,7 +184,7 @@ def _decode_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc = acc + (partial - xs * z) * s
     acc_ref[:] = acc
 
-    @pl.when(k_idx == pl.num_programs(1) - 1)
+    @pl.when(k_idx == pl.num_programs(k_axis) - 1)
     def _done():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
@@ -224,6 +238,209 @@ def _fused_quant_matmul_2d(x: jax.Array, packed: jax.Array, scales: jax.Array,
         interpret=interpret,
         **kwargs,
     )(x, packed, scales, zeros)
+
+
+def _choose_tiles_prefill(kp: int, np_: int, tile_m: int) -> tuple:
+    """Pick (tile_k, tile_n) for the 3-D prefill grid.
+
+    Budgets: x tile ``tile_m * tile_k * 2`` bytes <= _X_TILE_BUDGET and
+    dequant scratch ``tile_k * tile_n * 2`` <= _W_SCRATCH_BUDGET (x and
+    packed tiles are additionally doubled by pipeline buffering; the
+    whole working set stays under ~10 MB of the 16 MB VMEM). tile_k
+    must divide kp and keep tile_k/EFF_GROUP a multiple of 8
+    (scale-block sublane rule) unless it is the whole K. Prefer the
+    deepest tile_k (deeper MXU dots, fewer accumulator round trips),
+    then the widest tile_n.
+    """
+    n_sb = kp // SUPERBLOCK
+    best = None  # (k_steps, n_steps, tile_k, tile_n)
+    for tn in (1024, 512, 256, 128):
+        if np_ % tn != 0:
+            continue
+        for d in range(n_sb, 0, -1):
+            if n_sb % d != 0:
+                continue
+            if d % 4 != 0 and d != n_sb:
+                continue
+            tk = d * SUPERBLOCK
+            if tile_m * tk * 2 > _X_TILE_BUDGET:
+                continue
+            if tk * tn * 2 > _W_SCRATCH_BUDGET:
+                continue
+            if (tk // 2) * tn > _TILE_BUDGET:
+                continue
+            cand = (kp // tk, np_ // tn, tk, tn)
+            if best is None or cand < best:
+                best = cand
+    if best is None:  # tiny matrices: single block
+        return kp, min(np_, 1024) if np_ % 128 == 0 else np_
+    return best[2], best[3]
+
+
+def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
+                           w_ref, *, tile_k: int):
+    """Prefill (MXU-bound) kernel: dequantize the packed tile ONCE into
+    a bf16 VMEM scratch, then one deep MXU dot per k-tile.
+
+    The decode kernel's group-correction trick is wrong for this regime:
+    its corrective VPU math scales O(M*N*K/128) and its dots are only
+    128 deep, so at M >= 256 the VPU work and dot fill/drain dominate
+    (measured 18-60% MXU on chip). Dequant-to-scratch costs O(K*N) VPU
+    per M tile and feeds the MXU one tile_k-deep dot instead of
+    2*(tile_k/256) shallow ones."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_sb = tile_k // SUPERBLOCK
+    half = SUPERBLOCK // 2
+    for sb in range(n_sb):
+        p = p_ref[sb * half:(sb + 1) * half, :]
+        lo, hi, hi_x16 = _sb_nibble_planes(p)
+        slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
+        shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
+        zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
+        zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
+        # w = (q - z) * s. q - z is exact in bf16 (both in 0..15). With
+        # the i8 variant the hi plane is 16*q - 128, so
+        # w = (plane + 16*(8 - z)) * (s / 16).
+        w_ref[sb * SUPERBLOCK:sb * SUPERBLOCK + half, :] = (lo - zlo) * slo
+        if hi_x16:
+            w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
+                (hi + (8.0 - zhi) * 16.0) * (shi * 0.0625))
+        else:
+            w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
+                (hi - zhi) * shi)
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _prefill_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
+                       w_ref, *, tile_k: int):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_g = tile_k // EFF_GROUP
+    for g in range(n_g):
+        q = p_ref[g * EFF_GROUP:(g + 1) * EFF_GROUP, :].astype(jnp.bfloat16)
+        s = s_ref[g:g + 1, :].astype(jnp.bfloat16)
+        z = z_ref[g:g + 1, :].astype(jnp.bfloat16)
+        w_ref[g * EFF_GROUP:(g + 1) * EFF_GROUP, :] = (q - z) * s
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fmt_is_u4", "out_dtype", "interpret",
+                                    "tile_m"))
+def _fused_quant_matmul_3d(x: jax.Array, packed: jax.Array, scales: jax.Array,
+                           zeros: jax.Array, *, tile_m: int,
+                           fmt_is_u4: bool = False,
+                           out_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """Prefill variant: x [Mp, Kp] with Mp a multiple of tile_m; grid
+    (M tiles, N tiles, K tiles), K innermost so the fp32 accumulator
+    tile stays resident. Never materializes a dequantized [K, N]."""
+    mp, kp = x.shape
+    np_ = packed.shape[-1]
+    tile_k, tile_n = _choose_tiles_prefill(kp, np_, tile_m)
+    grid = (mp // tile_m, np_ // tile_n, kp // tile_k)
+
+    if fmt_is_u4:
+        kernel = functools.partial(_prefill_kernel_u4, tile_k=tile_k)
+        p_spec = pl.BlockSpec((tile_k, tile_n), lambda i, j, k: (k, j))
+    else:
+        kernel = functools.partial(_prefill_kernel_i8pair, tile_k=tile_k)
+        p_spec = pl.BlockSpec((tile_k // 2, tile_n), lambda i, j, k: (k, j))
+
+    sz_spec = pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                           lambda i, j, k: (k, j))
+    m_tiles, n_tiles = grid[0], grid[1]
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (m_tiles * (kp * np_ // 2
+                                 + 2 * (kp // EFF_GROUP) * np_ * 2)
+                      + n_tiles * mp * kp * 2 + mp * np_ * 2)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k)),
+            p_spec,
+            sz_spec,
+            sz_spec,
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32),
+                        pltpu.VMEM((tile_k, tile_n), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+        **kwargs,
+    )(x, packed, scales, zeros)
+
+
+def _tiled_dequant_matmul(x: jax.Array, qw: QuantizedWeight,
+                          tile_n: int = 2048) -> jax.Array:
+    """Memory-bounded fallback for formats the Pallas kernels don't
+    cover (fmt='ref' exotic group sizes, 'sqllm' LUTs): dequantize and
+    multiply one N-slice at a time under lax.map so peak temp is
+    O(K * tile_n), never the reference-style full [K, N] f32 broadcast
+    that OOM'd 7B engine init on 16 GB HBM (round-3 battery)."""
+    import dataclasses as _dc
+    k, n = qw.in_features, qw.out_features
+    if qw.perm is not None:
+        x = jnp.take(x, qw.perm, axis=-1)
+    if n <= tile_n:
+        w = dequantize(qw, dtype=x.dtype)
+        return jnp.dot(x, w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    n_pad = _round_up(n, tile_n)
+
+    def slice_cols(a, start):
+        # Keep only real columns, zero-pad to the tile grid (scale-0
+        # pad columns dequantize to exactly zero), then slice one tile.
+        a = a[..., :n]
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, n_pad - n)]
+        return jax.lax.dynamic_slice_in_dim(jnp.pad(a, pad), start, tile_n,
+                                            axis=a.ndim - 1)
+
+    def one_tile(i):
+        start = i * tile_n
+        sub = _dc.replace(
+            qw,
+            packed=slice_cols(qw.packed, start),
+            scales=slice_cols(qw.scales, start),
+            zeros=slice_cols(qw.zeros, start),
+            lut=(slice_cols(qw.lut.T, start).T
+                 if qw.lut is not None else None),
+            perm=None,
+            out_features=tile_n, padded_out=tile_n)
+        w = dequantize(sub, dtype=x.dtype)
+        return jnp.dot(x, w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+    tiles = jax.lax.map(one_tile, jnp.arange(n_pad // tile_n))
+    y = jnp.moveaxis(tiles, 0, -2).reshape(*x.shape[:-1], n_pad)
+    return y[..., :n]
 
 
 def _fused_mlp_kernel(*refs, k1p: int, tile_f: int, real_steps: int,
@@ -486,9 +703,13 @@ def quant_matmul(
 ) -> jax.Array:
     """y = x @ dequant(W) for x of shape [..., K]; returns [..., N].
 
-    Dispatches between the fused Pallas decode kernel (token count <=
-    FUSED_KERNEL_MAX_TOKENS) and dequant-then-XLA-GEMM (prefill), the TPU
-    restatement of the reference's batch heuristic (awq.py:155-162).
+    Dispatch: the fused Pallas decode kernel (token count <=
+    FUSED_KERNEL_MAX_TOKENS, x whole in VMEM) or the M-tiled 3-D prefill
+    kernel (any larger M) — the same group-correction math in both
+    regimes, so no dequantized [K, N] is ever materialized (unlike the
+    reference's >=256-token full-dequant heuristic, awq.py:155-162).
+    Formats without a Pallas kernel (ref/sqllm) take the N-tiled
+    memory-bounded dequant-GEMM fallback.
     """
     out_dtype = out_dtype or x.dtype
     *lead, k = x.shape
@@ -499,24 +720,35 @@ def quant_matmul(
 
     if use_kernel is None:
         use_kernel = (qw.fmt in ("i8pair", "u4")
-                      and m <= FUSED_KERNEL_MAX_TOKENS
                       and default_backend_is_tpu())
     if interpret is None:
         interpret = not default_backend_is_tpu()
 
     if not use_kernel:
-        y = quant_matmul_ref(x.reshape(m, k), qw)
+        y = _tiled_dequant_matmul(x.reshape(m, k), qw)
         return y.reshape(*lead, qw.out_features).astype(out_dtype)
 
     x2 = x.reshape(m, k)
     if qw.perm is not None:
         x2 = jnp.take(x2, qw.perm, axis=1)
-    mp = max(8, _round_up(m, 8))
-    if mp != m or qw.padded_in != k:
-        x2 = jnp.pad(x2, ((0, mp - m), (0, qw.padded_in - k)))
-    y = _fused_quant_matmul_2d(x2.astype(jnp.bfloat16), qw.packed, qw.scales,
-                               qw.zeros, fmt_is_u4=(qw.fmt == "u4"),
-                               out_dtype=out_dtype, interpret=interpret)
+    if m <= FUSED_KERNEL_MAX_TOKENS:
+        mp = max(8, _round_up(m, 8))
+        if mp != m or qw.padded_in != k:
+            x2 = jnp.pad(x2, ((0, mp - m), (0, qw.padded_in - k)))
+        y = _fused_quant_matmul_2d(x2.astype(jnp.bfloat16), qw.packed,
+                                   qw.scales, qw.zeros,
+                                   fmt_is_u4=(qw.fmt == "u4"),
+                                   out_dtype=out_dtype, interpret=interpret)
+    else:
+        tile_m = int(os.environ.get("VLLM_TPU_QMM_TM", 512))
+        tile_m = min(tile_m, _round_up(m, 128))
+        mp = _round_up(m, tile_m)
+        if mp != m or qw.padded_in != k:
+            x2 = jnp.pad(x2, ((0, mp - m), (0, qw.padded_in - k)))
+        y = _fused_quant_matmul_3d(x2.astype(jnp.bfloat16), qw.packed,
+                                   qw.scales, qw.zeros, tile_m=tile_m,
+                                   fmt_is_u4=(qw.fmt == "u4"),
+                                   out_dtype=out_dtype, interpret=interpret)
     return y[:m, :qw.out_features].reshape(*lead, qw.out_features)
 
 

@@ -98,9 +98,31 @@ class Worker:
         cache_block_size = CacheEngine.get_cache_block_size(
             block_size, cache_dtype, self.model_config,
             self.parallel_config)
-        # Reserve headroom for activations/jit temporaries: 10% of limit.
-        budget = int(limit * gpu_memory_utilization) - used - int(
-            0.10 * limit)
+        # Activation/HLO-temp reserve: measured from the AOT-compiled
+        # worst-case prefill step when the backend exposes
+        # memory_analysis (single-chip), with a 15% + 256 MiB margin for
+        # allocator slack and the sampler/output buffers; the 10%
+        # constant only as fallback. Round 3's battery showed the
+        # constant under-reserving by ~4 GB at 7B prefill shapes.
+        from vllm_quick_tpu.utils import STR_DTYPE_TO_JNP
+        dtype = (self.model_config.dtype if cache_dtype == "auto"
+                 else STR_DTYPE_TO_JNP[cache_dtype])
+        probe_blocks = 1 + max(
+            len(bt) for m in self.model_runner._profile_metas()
+            for bt in m.block_tables.values())
+        shape = self.model_runner.model.kv_cache_shape(
+            probe_blocks, block_size)
+        temp = self.model_runner.measure_step_temp_bytes(
+            self.model_config.get_num_layers(self.parallel_config),
+            shape, dtype)
+        if temp is not None:
+            reserve = int(temp * 1.15) + (256 << 20)
+            logger.info(
+                "Measured prefill HLO temp requirement: %.2f GiB "
+                "-> reserving %.2f GiB", temp / _GB, reserve / _GB)
+        else:
+            reserve = int(0.10 * limit)
+        budget = int(limit * gpu_memory_utilization) - used - reserve
         # get_cache_block_size is per-chip: under pp it counts only one
         # stage's layers (get_num_layers divides by pp).
         num_device_blocks = max(budget // cache_block_size, 0)
