@@ -222,6 +222,39 @@ def test_fused_mlp_matches_two_kernel_path(t, d, f):
 
 
 @pytest.mark.parametrize("t", [1, 5])
+@pytest.mark.parametrize("d,n", [(512, 768), (256, 384)])
+def test_fused_qkv_norm_matches_composed_path(t, d, n):
+    """The qkv norm-prologue kernel: (qkv, r) must equal residual-add +
+    rms_norm + quant matmul (interpret mode on CPU)."""
+    import jax
+    from vllm_quick_tpu.ops.quant_matmul import (fused_qkv_norm,
+                                                 qkv_norm_fusable)
+
+    rng = np.random.default_rng(7 * d + n + t)
+    eps = 1e-6
+    w = rng.standard_normal((d, n)).astype(np.float32) * 0.1
+    qw = qf.quantize_reference(w)
+    assert qkv_norm_fusable(qw)
+
+    h = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    wn = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)), jnp.bfloat16)
+    y, r = fused_qkv_norm(h, res, wn, qw, eps=eps, interpret=True)
+
+    r_want = h.astype(jnp.float32) + res.astype(jnp.float32)
+    var = jnp.mean(r_want * r_want, axis=-1, keepdims=True)
+    xn = (r_want * jax.lax.rsqrt(var + eps)
+          * wn.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = np.asarray(qf.quant_matmul_ref(xn, qw), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 2e-2
+    np.testing.assert_allclose(np.asarray(r, np.float32),
+                               np.asarray(r_want.astype(jnp.bfloat16),
+                                          np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t", [1, 5])
 @pytest.mark.parametrize("d,f", [(512, 768)])
 def test_fused_mlp_norm_matches_composed_path(t, d, f):
     """The norm-prologue variant: (y, r) must equal residual-add +

@@ -95,16 +95,13 @@ class LLMEngine:
                                  "already splits the prompt across "
                                  "chips)")
         pp = getattr(parallel_config, "pipeline_parallel_size", 1)
-        if lora_config is not None:
-            from vllm_quick_tpu.parallel.multihost import is_multihost
-            if is_multihost():
-                # Adapter slot writes happen on the driver's param
-                # stacks only; follower hosts would run with zeroed
-                # stacks and silently diverge the KV pools.
-                raise NotImplementedError(
-                    "multi-LoRA is not supported in multi-host "
-                    "deployments yet (adapter weights are not "
-                    "broadcast to follower hosts)")
+        # Multi-LoRA + multihost: the driver's per-step payload carries
+        # its slot assignments and followers replay them from their own
+        # filesystem copies (worker_manager.sync_slots), keeping every
+        # host's adapter stacks identical — adapter checkpoints must be
+        # present at the same path on all hosts (same contract as model
+        # weights). Proven token-identical by
+        # tests/distributed/test_multihost_lora_2proc.py.
         ctx = ParallelContext(
             tp_size=parallel_config.tensor_parallel_size,
             dp_size=parallel_config.data_parallel_size,

@@ -195,6 +195,16 @@ class LoRAModelManager:
             mapping[lm.id] = slot
         return mapping
 
+    def load_into_slot(self, slot: int, lm: LoRAModel) -> None:
+        """Place an adapter into a SPECIFIC slot — the follower-host
+        mirror of the driver's slot assignment (multihost LoRA sync;
+        the driver's ensure_loaded picks slots, followers replay them
+        so every host's stacked tensors are identical)."""
+        self._clock += 1
+        self.slot_ids[slot] = lm.id
+        self.slot_clock[slot] = self._clock
+        self._write_slot(slot, lm)
+
     def remove(self, lora_id: int) -> bool:
         if lora_id not in self.slot_ids:
             return False

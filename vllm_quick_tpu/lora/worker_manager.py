@@ -46,6 +46,21 @@ class WorkerLoRAManager:
         models = [self._get_cpu(r) for r in requests]
         return self.manager.ensure_loaded(models)
 
+    def sync_slots(self, directives) -> None:
+        """Follower-host mirror of the driver's slot assignments:
+        ``directives`` is a list of (slot, lora_int_id, local_path)
+        tuples from the driver's per-step payload. Each follower loads
+        the same checkpoint from its own filesystem into the same slot
+        with the same write code, so the stacked tensors match the
+        driver's bit for bit. Idempotent (no-op for slots already
+        holding the right adapter)."""
+        for slot, lora_id, path in directives:
+            if self.manager.slot_ids[slot] == lora_id:
+                self.manager.slot_clock[slot] = self.manager._clock
+                continue
+            lm = self._get_cpu(LoRARequest(str(lora_id), lora_id, path))
+            self.manager.load_into_slot(slot, lm)
+
     def add_lora(self, req: LoRARequest) -> bool:
         self.set_active_loras({req})
         return True

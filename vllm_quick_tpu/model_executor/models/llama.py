@@ -89,6 +89,23 @@ class LlamaForCausalLM:
         residual = None
         new_caches = []
         for i, layer in enumerate(params["layers"]):
+            fused_qkv = self._qkv_norm_fused(layer, h, residual, meta)
+            if fused_qkv is not None:
+                qkv, residual = fused_qkv
+                x, cache = self._attention_core(qkv, positions,
+                                                kv_caches[i], meta)
+                x = apply_linear(layer["o"], x, meta.lora_indices)
+                x = self.ctx.tp_all_reduce(x)
+                new_caches.append(cache)
+                fused = self._mlp_block_norm_fused(layer, x, residual,
+                                                   meta.lora_indices)
+                if fused is not None:
+                    h, residual = fused
+                    continue
+                x, residual = fused_add_rms_norm(
+                    x, residual, layer["post_norm"], self.rms_eps)
+                h = self._mlp_block(layer, x, meta.lora_indices)
+                continue
             if residual is None:
                 residual = h
                 x = rms_norm(h, layer["input_norm"], self.rms_eps)
@@ -126,6 +143,32 @@ class LlamaForCausalLM:
         qh, kh = self.rope(positions, qh, kh)
         return self.attn(qh.reshape(*lead, -1), kh.reshape(*lead, -1),
                          v, kv_cache, meta, positions=positions)
+
+    def _qkv_norm_fused(self, layer, h, residual, meta):
+        """Pre-attention residual-add + RMSNorm + qkv projection in one
+        Pallas call (decode). Returns (qkv, new_residual) or None when
+        the fused path doesn't apply (prefill token counts, LoRA, bias,
+        non-i8pair, non-TPU). First layer: residual=None is a zero
+        residual (fused(h, 0) == (rms_norm(h) @ W, h))."""
+        qkv_w = layer.get("qkv")
+        if not (meta.lora_indices is None
+                and qkv_w is not None and qkv_w.qw is not None
+                and qkv_w.bias is None and qkv_w.lora_a is None
+                and not os.environ.get("VLLM_TPU_NO_FUSED_QKV_NORM")):
+            return None
+        from vllm_quick_tpu.ops.quant_matmul import (
+            FUSED_KERNEL_MAX_TOKENS, default_backend_is_tpu,
+            fused_qkv_norm, qkv_norm_fusable)
+        t = 1
+        for d in h.shape[:-1]:
+            t *= d
+        if not (t <= FUSED_KERNEL_MAX_TOKENS
+                and qkv_norm_fusable(qkv_w.qw)
+                and default_backend_is_tpu()):
+            return None
+        res = residual if residual is not None else jnp.zeros_like(h)
+        return fused_qkv_norm(h, res, layer["input_norm"], qkv_w.qw,
+                              eps=self.rms_eps)
 
     def _attention_block(self, layer, x, positions, kv_cache, meta):
         li = meta.lora_indices

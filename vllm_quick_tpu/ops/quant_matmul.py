@@ -512,6 +512,126 @@ def _fused_mlp_kernel(*refs, k1p: int, tile_f: int, real_steps: int,
         o_ref[:] = y_acc[:].astype(o_ref.dtype)
 
 
+def _decode_norm_kernel_i8pair(h_ref, res_ref, wn_ref, p_ref, s_ref, z_ref,
+                               o_ref, r_ref, acc_ref, xn_ref, *,
+                               tile_k: int, eps: float):
+    """Decode kernel with a residual-add + RMSNorm prologue: at grid
+    step (0, 0) compute r = h + res and xn = rms_norm(r) * w into VMEM
+    scratch; every step then runs the standard superblock
+    group-correction dots against xn. The pre-attention
+    fused_add_rms_norm that precedes every qkv projection
+    (layernorm_kernels.cu:40 analogue) costs zero extra XLA ops — the
+    same pattern as the fused-MLP norm prologue (+1.5 tok/s)."""
+    j = pl.program_id(0)
+    k_idx = pl.program_id(1)
+
+    @pl.when((j == 0) & (k_idx == 0))
+    def _prologue():
+        r = h_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+        r_ref[:] = r.astype(r_ref.dtype)
+        var = jnp.mean(r * r, axis=1, keepdims=True)
+        xn_ref[:] = (r * jax.lax.rsqrt(var + eps)
+                     * wn_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_sb = tile_k // SUPERBLOCK
+    half = SUPERBLOCK // 2
+    k_off = k_idx * tile_k  # xn is whole-K; offset into this k tile
+
+    acc = acc_ref[:]
+    for sb in range(n_sb):
+        p = p_ref[sb * half:(sb + 1) * half, :]
+        xlo = xn_ref[:, pl.dslice(k_off + sb * SUPERBLOCK, half)]
+        xhi = xn_ref[:, pl.dslice(k_off + sb * SUPERBLOCK + half, half)]
+        slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def qkv_norm_fusable(qw: QuantizedWeight) -> bool:
+    return (qw.fmt == "i8pair" and qw.perm is None
+            and qw.padded_in == qw.in_features)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
+                                             "interpret"))
+def _fused_qkv_norm_2d(h, res, wn, packed, scales, zeros, *, eps: float,
+                       out_dtype=jnp.bfloat16, interpret: bool = False):
+    mp, kp = h.shape
+    np_ = packed.shape[-1]
+    tile_k, tile_n = _choose_tiles(kp, np_)
+    grid = (np_ // tile_n, kp // tile_k)
+    kernel = functools.partial(_decode_norm_kernel_i8pair, tile_k=tile_k,
+                               eps=eps)
+    whole = pl.BlockSpec((mp, kp), lambda j, k: (0, 0))
+    sz_spec = pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                           lambda j, k: (k, j))
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (kp * np_ // 2 + mp * kp * 2 * 2 +
+                      2 * (kp // EFF_GROUP) * np_ * 2 + mp * np_ * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            whole,                                                  # h
+            whole,                                                  # res
+            pl.BlockSpec((1, kp), lambda j, k: (0, 0)),             # wn
+            pl.BlockSpec((tile_k // 2, tile_n), lambda j, k: (k, j)),
+            sz_spec,
+            sz_spec,
+        ],
+        out_specs=(pl.BlockSpec((mp, tile_n), lambda j, k: (0, j)),
+                   pl.BlockSpec((mp, kp), lambda j, k: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, np_), out_dtype),
+                   jax.ShapeDtypeStruct((mp, kp), out_dtype)),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32),
+                        pltpu.VMEM((mp, kp), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(h, res, wn, packed, scales, zeros)
+
+
+def fused_qkv_norm(h: jax.Array, res: jax.Array, w_norm: jax.Array,
+                   qw: QuantizedWeight, *, eps: float = 1e-6,
+                   out_dtype=None, interpret: Optional[bool] = None):
+    """(qkv, r) = (rms_norm(h + res, w) @ W_qkv, h + res) in one Pallas
+    call — the pre-attention fused_add_rms_norm plus the qkv projection
+    (decode batches). Caller checks :func:`qkv_norm_fusable`."""
+    out_dtype = out_dtype or h.dtype
+    *lead, k = h.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+    mp = max(8, _round_up(m, 8))
+    h2 = h.reshape(m, k)
+    r2 = res.reshape(m, k)
+    if mp != m:
+        h2 = jnp.pad(h2, ((0, mp - m), (0, 0)))
+        r2 = jnp.pad(r2, ((0, mp - m), (0, 0)))
+    y, r = _fused_qkv_norm_2d(h2.astype(jnp.bfloat16),
+                              r2.astype(jnp.bfloat16),
+                              w_norm.astype(jnp.bfloat16).reshape(1, k),
+                              qw.packed, qw.scales, qw.zeros,
+                              eps=float(eps), out_dtype=out_dtype,
+                              interpret=interpret)
+    return (y[:m, :qw.out_features].reshape(*lead, qw.out_features),
+            r[:m].reshape(*lead, k))
+
+
 def mlp_fusable(qw13: QuantizedWeight, qw2: QuantizedWeight) -> bool:
     f = qw2.in_features
     return (qw13.fmt == "i8pair" and qw2.fmt == "i8pair"

@@ -575,6 +575,7 @@ class ModelRunner:
         """Driver-side input preparation as a broadcastable numpy pytree
         (the analogue of the reference's broadcast_tensor_dict payload,
         model_runner.py:459-542)."""
+        lora_sync = None
         if self.lora_manager is not None:
             requests = {m.lora_request for m in metas
                         if m.lora_request is not None}
@@ -582,6 +583,12 @@ class ModelRunner:
                 self.lora_manager.set_active_loras(requests)
                 if requests else {})
             self._refresh_pp_lora()
+            # Multihost: followers replay the driver's slot assignments
+            # from their own disks (worker_manager.sync_slots) so every
+            # host's adapter stacks stay identical.
+            paths = {r.lora_int_id: r.lora_local_path for r in requests}
+            lora_sync = [(slot, lid, paths[lid])
+                         for lid, slot in self._lora_mapping.items()]
         is_prompt = metas[0].is_prompt
         if is_prompt:
             ids, pos, meta, prompt_lens = self._prepare_prompt(metas)
@@ -606,7 +613,17 @@ class ModelRunner:
             v = getattr(meta, name)
             if v is not None:
                 payload[name] = np.asarray(v)
+        if lora_sync:
+            payload["lora_sync"] = lora_sync
         return payload
+
+    def apply_lora_sync(self, directives) -> None:
+        """Follower-host application of the driver's per-step LoRA slot
+        assignments (see prepare_step_inputs)."""
+        if self.lora_manager is None or not directives:
+            return
+        self.lora_manager.sync_slots(directives)
+        self._refresh_pp_lora()
 
     def run_prepared(
         self,

@@ -238,6 +238,8 @@ class Worker:
                 return
             self._apply_cache_directives(payload)
             if "step" in payload:
+                self.model_runner.apply_lora_sync(
+                    payload["step"].get("lora_sync"))
                 _, caches, _ = self.model_runner.run_prepared(
                     payload["step"], self.cache_engine.device_cache)
                 self.cache_engine.device_cache = caches
