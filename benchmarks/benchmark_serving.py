@@ -51,18 +51,25 @@ async def send_request(session, url, model, prompt, output_len, metrics):
     start = time.perf_counter()
     first_token_time = None
     n_chunks = 0
-    async with session.post(url, json=payload) as resp:
-        if resp.status != 200:
-            _errors.append(f"HTTP {resp.status}: "
-                           f"{(await resp.text())[:200]}")
-            return
-        async for line in resp.content:
-            line = line.decode().strip()
-            if not line.startswith("data: ") or line == "data: [DONE]":
-                continue
-            if first_token_time is None:
-                first_token_time = time.perf_counter()
-            n_chunks += 1
+    try:
+        async with session.post(url, json=payload) as resp:
+            if resp.status != 200:
+                _errors.append(f"HTTP {resp.status}: "
+                               f"{(await resp.text())[:200]}")
+                return
+            async for line in resp.content:
+                line = line.decode().strip()
+                if not line.startswith("data: ") or line == "data: [DONE]":
+                    continue
+                if first_token_time is None:
+                    first_token_time = time.perf_counter()
+                n_chunks += 1
+    except (aiohttp.ClientError, asyncio.TimeoutError) as e:
+        # One dropped stream must not sink the whole sweep — count it
+        # and keep the surviving samples (a round-4 engine death turned
+        # an entire battery step into a stack trace with no metrics).
+        _errors.append(f"{type(e).__name__}: {e}")
+        return
     end = time.perf_counter()
     if first_token_time is None:
         return
@@ -106,6 +113,7 @@ async def run(args):
               f"{_errors[-1]}", file=sys.stderr)
     print(json.dumps({
         "completed": metrics.completed,
+        "errors": len(_errors),
         "duration_s": round(elapsed, 2),
         "request_throughput": round(metrics.completed / elapsed, 3),
         "output_tok_s": round(metrics.total_output / elapsed, 1),

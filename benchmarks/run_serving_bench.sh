@@ -36,10 +36,16 @@ curl -sf "localhost:$PORT/health" > /dev/null || {
     exit 1
 }
 
-# Warm the compile caches (one short request) before timed runs.
+# Warm the compile caches before timed runs: an untimed burst at the
+# sweep's own input length walks the prefill batch buckets (1..32) and
+# the decode buckets the timed rates will hit — through the tunnel a
+# single new-bucket compile is minutes, which would otherwise land in
+# the middle of a timed TTFT sample (round-4 first sweep: mean TTFT
+# 17.8 s, all compile).
+echo "== warm (untimed) =="
 python benchmarks/benchmark_serving.py --model "$MODEL" --port "$PORT" \
-    --num-prompts 2 --input-len 32 --output-len 8 --request-rate 1000 \
-    > /dev/null 2>&1
+    --num-prompts 48 --input-len 128 --output-len 16 --request-rate 1000 \
+    2>&1 | tail -2
 
 for rate in $RATES; do
     echo "== request rate $rate =="

@@ -39,8 +39,13 @@ def _flash_prefill_ok(l: int, d: int, alibi_slopes,
     import os
     if os.environ.get("VLLM_TPU_NO_FLASH"):
         return False
+    # l >= 128: verified on chip at l=128 (round 4). Keeping short-len
+    # buckets on the flash kernel matters for MEMORY, not just speed —
+    # the XLA path materializes [B, H, L, L] f32 logits, and a
+    # (b=32, l=128) serving bucket's temps (3.32 GiB) OOM'd a 7B engine
+    # mid-serving where the probed (8, 512) bucket (1.49 GiB) fit.
     return (alibi_slopes is None and sliding_window is None
-            and d % 128 == 0 and l % 128 == 0 and l >= 256
+            and d % 128 == 0 and l % 128 == 0 and l >= 128
             and default_backend_is_tpu())
 
 

@@ -254,7 +254,10 @@ def _choose_tiles_prefill(kp: int, np_: int, tile_m: int) -> tuple:
     """
     n_sb = kp // SUPERBLOCK
     best = None  # (k_steps, n_steps, tile_k, tile_n)
-    for tn in (1024, 512, 256, 128):
+    forced_tn = os.environ.get("VLLM_TPU_QMM_PTN")  # experiment knob
+    tn_options = ((int(forced_tn),) if forced_tn
+                  else (1024, 512, 256, 128))
+    for tn in tn_options:
         if np_ % tn != 0:
             continue
         for d in range(n_sb, 0, -1):
@@ -374,7 +377,7 @@ def _fused_quant_matmul_3d(x: jax.Array, packed: jax.Array, scales: jax.Array,
                                  + 2 * (kp // EFF_GROUP) * np_ * 2)
                       + n_tiles * mp * kp * 2 + mp * np_ * 2)
     kwargs = {}
-    if not interpret:
+    if not interpret and not os.environ.get("VLLM_TPU_QMM_3D_NODIMSEM"):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"))
     return pl.pallas_call(

@@ -137,3 +137,33 @@ async def merge_async_iterators(*iterators):
         for task in tasks:
             if not task.done():
                 task.cancel()
+
+
+def call_step_with_compile_retry(fn, *args, **kwargs):
+    """Invoke a jitted step, retrying transient REMOTE-COMPILE failures.
+
+    On remote-attached TPU rigs (axon tunnel) the out-of-process compile
+    helper occasionally 500s under load; the failure surfaces as a
+    JaxRuntimeError on the first dispatch of a new bucket shape and
+    killed a round-4 serving sweep mid-run. Compilation is idempotent
+    and donation only consumes inputs at *execution*, so retrying the
+    identical call is safe. Persistent failures re-raise on the third
+    attempt."""
+    import time as _time
+
+    import jax
+
+    for attempt in range(3):
+        try:
+            return fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+            msg = str(e)
+            transient = ("remote_compile" in msg
+                         or "tpu_compile_helper" in msg)
+            if not transient or attempt == 2:
+                raise
+            from vllm_quick_tpu.logger import init_logger
+            init_logger(__name__).warning(
+                "Transient remote-compile failure (attempt %d); "
+                "retrying: %s", attempt + 1, msg.splitlines()[0])
+            _time.sleep(2.0 * (attempt + 1))

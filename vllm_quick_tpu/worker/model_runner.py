@@ -26,7 +26,9 @@ from vllm_quick_tpu.parallel.mesh import ParallelContext
 from vllm_quick_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_quick_tpu.sequence import (SamplerOutput, SequenceGroupMetadata,
                                      SequenceGroupOutput, SequenceOutput)
-from vllm_quick_tpu.utils import make_ndarray_with_pad, pad_to_bucket
+from vllm_quick_tpu.utils import (call_step_with_compile_retry,
+                                  make_ndarray_with_pad,
+                                  pad_to_bucket)
 
 logger = init_logger(__name__)
 
@@ -654,27 +656,27 @@ class ModelRunner:
         if self.ctx.pp_size > 1 and not echo_k:
             step = (self._pp_prefill_step if meta.is_prompt
                     else self._pp_decode_step)
-            logits, kv_caches = step(
-                self.params, payload["ids"], payload["pos"], kv_caches,
-                meta, payload["prompt_lens"])
+            logits, kv_caches = call_step_with_compile_retry(
+                step, self.params, payload["ids"], payload["pos"],
+                kv_caches, meta, payload["prompt_lens"])
             return logits, kv_caches, None
         if self.ctx.sp_size > 1:
             step = (self._sp_prefill_step if meta.is_prompt
                     else self._sp_decode_step)
-            logits, kv_caches = step(
-                self.params, payload["ids"], payload["pos"], kv_caches,
-                meta, payload["prompt_lens"])
+            logits, kv_caches = call_step_with_compile_retry(
+                step, self.params, payload["ids"], payload["pos"],
+                kv_caches, meta, payload["prompt_lens"])
             return logits, kv_caches, None
         if echo_k:
             # _get_echo_step internally selects the pp variant.
             step = self._get_echo_step(echo_k)
-            logits, kv_caches, extras = step(
-                self.params, payload["ids"], payload["pos"], kv_caches,
-                meta, payload["prompt_lens"])
+            logits, kv_caches, extras = call_step_with_compile_retry(
+                step, self.params, payload["ids"], payload["pos"],
+                kv_caches, meta, payload["prompt_lens"])
             return logits, kv_caches, extras
-        logits, kv_caches = self._jit_step(
-            self.params, payload["ids"], payload["pos"], kv_caches, meta,
-            payload["prompt_lens"])
+        logits, kv_caches = call_step_with_compile_retry(
+            self._jit_step, self.params, payload["ids"], payload["pos"],
+            kv_caches, meta, payload["prompt_lens"])
         return logits, kv_caches, None
 
     def execute_model(
@@ -710,10 +712,10 @@ class ModelRunner:
                 block_tables=payload.get("block_tables"),
                 lora_indices=payload.get("lora_indices"),
             )
-            outs, kv_caches = self._fused_step(
-                self.params, payload["ids"], payload["pos"], kv_caches,
-                meta, payload["prompt_lens"], tensors,
-                flags_key=flags.key())
+            outs, kv_caches = call_step_with_compile_retry(
+                self._fused_step, self.params, payload["ids"],
+                payload["pos"], kv_caches, meta, payload["prompt_lens"],
+                tensors, flags_key=flags.key())
             fetched = jax.device_get(outs)
             return self._assemble(metas, rows, *fetched, None), kv_caches
 

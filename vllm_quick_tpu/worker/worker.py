@@ -116,7 +116,12 @@ class Worker:
             self.model_config.get_num_layers(self.parallel_config),
             shape, dtype)
         if temp is not None:
-            reserve = int(temp * 1.15) + (256 << 20)
+            # 25% + 512 MiB margin: OTHER (batch, len) bucket combos of
+            # the same token budget compile with different HLO-temp
+            # liveness than the probed shape (observed spread after the
+            # flash-at-all-lens fix is schedule noise, not the 2.2x
+            # attention blow-up that OOM'd round 4's first sweep).
+            reserve = int(temp * 1.25) + (512 << 20)
             logger.info(
                 "Measured prefill HLO temp requirement: %.2f GiB "
                 "-> reserving %.2f GiB", temp / _GB, reserve / _GB)
