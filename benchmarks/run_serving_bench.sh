@@ -42,9 +42,16 @@ curl -sf "localhost:$PORT/health" > /dev/null || {
 # single new-bucket compile is minutes, which would otherwise land in
 # the middle of a timed TTFT sample (round-4 first sweep: mean TTFT
 # 17.8 s, all compile).
-echo "== warm (untimed) =="
+echo "== warm burst (untimed) =="
 python benchmarks/benchmark_serving.py --model "$MODEL" --port "$PORT" \
     --num-prompts 48 --input-len 128 --output-len 16 --request-rate 1000 \
+    2>&1 | tail -2
+# A second, paced warm pass: low rates produce SINGLETON prefill
+# buckets (1/2/4-prompt batches) the burst never compiles — without
+# this, the first timed low-rate samples eat multi-minute compiles.
+echo "== warm paced (untimed) =="
+python benchmarks/benchmark_serving.py --model "$MODEL" --port "$PORT" \
+    --num-prompts 24 --input-len 128 --output-len 32 --request-rate 2 \
     2>&1 | tail -2
 
 for rate in $RATES; do

@@ -76,6 +76,28 @@ def test_token_budget_limits_admission():
     assert len(sched.waiting) == 6
 
 
+def test_token_budget_counts_bucket_padded_shape():
+    """Admission must count the runner's BUCKET-padded batch shape, not
+    len*max: 5 x 100-token prompts are 500 < 512 raw but bucket-pad to
+    (8, 128) = 1024 > 512 — exactly the shape that compiles (a raw
+    count OOM'd a 7B engine mid-serving in round 4)."""
+    sched = make_scheduler(max_tokens=512, max_model_len=512,
+                           num_blocks=512)
+    for _ in range(8):
+        add_request(sched, prompt_len=100)
+    metas, out = sched.schedule()
+    # (4, 128) = 512 fits; adding a 5th pads the batch bucket to 8
+    # -> (8, 128) = 1024 > 512.
+    assert len(metas) == 4
+    assert len(sched.waiting) == 4
+    # A single max-budget-length prompt must stay admissible.
+    sched2 = make_scheduler(max_tokens=512, max_model_len=512,
+                            num_blocks=512)
+    g = add_request(sched2, prompt_len=512)
+    metas2, _ = sched2.schedule()
+    assert len(metas2) == 1
+
+
 def test_max_num_seqs_budget():
     sched = make_scheduler(max_num_seqs=3)
     for _ in range(5):

@@ -111,10 +111,28 @@ class _BatchBudget:
 
     def prompt_tokens_fit(self, prompt_len: int) -> bool:
         """Prompts are padded to the batch max; both the padded total
-        and the padding waste are capped."""
+        and the padding waste are capped.
+
+        The total is counted over the RUNNER's bucket-padded shape
+        (batch bucket x length bucket, utils.py tables) — that is the
+        shape that compiles and allocates. Counting raw ``len * max``
+        admitted 17 ~120-token prompts under a 2048 budget that then
+        compiled as a (32, 128) = 4096-token bucket and OOM'd a 7B
+        engine mid-serving (round 4). The budget itself is rounded up
+        to a length bucket so a single max-length prompt (which the
+        per-prompt check caps at max_batched_tokens real tokens)
+        always remains admissible. The padding-waste cap keeps its
+        reference semantics (per-seq padding to the batch max, not to
+        the bucket)."""
+        from vllm_quick_tpu.utils import (LEN_BUCKETS,
+                                          PREFILL_BATCH_BUCKETS,
+                                          pad_to_bucket)
         lens = self.prompt_lens + [prompt_len]
+        bucket_padded = (pad_to_bucket(len(lens), PREFILL_BATCH_BUCKETS)
+                         * pad_to_bucket(max(lens), LEN_BUCKETS))
+        budget = pad_to_bucket(self.max_batched_tokens, LEN_BUCKETS)
         padded = len(lens) * max(lens)
-        return (padded <= self.max_batched_tokens
+        return (bucket_padded <= budget
                 and padded - sum(lens) <= self.max_paddings)
 
     def admit(self, group: SequenceGroup,

@@ -139,6 +139,19 @@ async def merge_async_iterators(*iterators):
                 task.cancel()
 
 
+# Static-shape buckets shared by the model runner (which pads batches
+# to them before jit dispatch) and the scheduler (whose admission
+# budget must count the PADDED shapes that actually compile — counting
+# raw `len * max` let a 17-prompt batch of ~120-token prompts pass a
+# 2048-token budget and then compile as a (32, 128) = 4096-token
+# bucket, OOMing a 7B engine mid-serving in round 4).
+DECODE_BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+PREFILL_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+               32768)
+BLOCK_TABLE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
 def call_step_with_compile_retry(fn, *args, **kwargs):
     """Invoke a jitted step, retrying transient REMOTE-COMPILE failures.
 

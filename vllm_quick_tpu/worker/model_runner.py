@@ -26,17 +26,19 @@ from vllm_quick_tpu.parallel.mesh import ParallelContext
 from vllm_quick_tpu.sampling_params import SamplingParams, SamplingType
 from vllm_quick_tpu.sequence import (SamplerOutput, SequenceGroupMetadata,
                                      SequenceGroupOutput, SequenceOutput)
-from vllm_quick_tpu.utils import (call_step_with_compile_retry,
+from vllm_quick_tpu.utils import (BLOCK_TABLE_BUCKETS,
+                                  DECODE_BATCH_BUCKETS, LEN_BUCKETS,
+                                  PREFILL_BATCH_BUCKETS,
+                                  call_step_with_compile_retry,
                                   make_ndarray_with_pad,
                                   pad_to_bucket)
 
 logger = init_logger(__name__)
 
-_DECODE_BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
-_PREFILL_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
-_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
-                32768)
-_BLOCK_TABLE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+_DECODE_BATCH_BUCKETS = DECODE_BATCH_BUCKETS
+_PREFILL_BATCH_BUCKETS = PREFILL_BATCH_BUCKETS
+_LEN_BUCKETS = LEN_BUCKETS
+_BLOCK_TABLE_BUCKETS = BLOCK_TABLE_BUCKETS
 
 
 class ModelRunner:
@@ -1012,10 +1014,12 @@ class ModelRunner:
     # -- profiling -----------------------------------------------------------
 
     def _profile_metas(self) -> List[SequenceGroupMetadata]:
-        """Worst-case prefill batch: max_num_batched_tokens split over
-        (up to) 8 prompt rows — the batch that sets the activation/HLO
-        temp high-water mark."""
-        max_tokens = self.scheduler_config.max_num_batched_tokens
+        """Worst-case prefill batch: the scheduler's bucket-padded
+        token envelope (the same rounding _BatchBudget admits against)
+        split over (up to) 8 prompt rows — the batch that sets the
+        activation/HLO temp high-water mark."""
+        max_tokens = pad_to_bucket(
+            self.scheduler_config.max_num_batched_tokens, LEN_BUCKETS)
         max_seqs = min(self.scheduler_config.max_num_seqs, 8)
         seq_len = max_tokens // max_seqs
         from vllm_quick_tpu.sequence import SequenceData
