@@ -84,8 +84,14 @@ async def send_request(session, url, model, prompt, output_len, metrics):
 
 async def run(args):
     rng = random.Random(0)
-    prompts = [" ".join(str(rng.randint(0, 999))
-                        for _ in range(args.input_len))
+    # Token-id prompts (the completions API accepts List[int]): the
+    # only way --input-len means what it says. The previous word-soup
+    # strings ("123 456 ...") tokenized to ~3.5x the requested length
+    # (each 3-digit number is 2-4 Llama tokens), silently inflating KV
+    # demand past capacity and putting every sweep into a
+    # preemption-thrash regime (round 4: 35 blocks/seq for "128-token"
+    # prompts, decode at 2 tok/s/seq).
+    prompts = [[rng.randint(10, 999) for _ in range(args.input_len)]
                for _ in range(args.num_prompts)]
 
     url = f"http://{args.host}:{args.port}/v1/completions"

@@ -100,10 +100,25 @@ def main():
         t3 = bench(lambda x: quant_matmul(x, qw, use_kernel=True,
                                           interpret=False), x)
 
+        # W4A8: s8 x s8 MXU dots (peak 2x bf16 on v5e) + per-token
+        # activation quantization. Failure to compile (older Mosaic
+        # without s8 dot support) is reported, not fatal.
+        import os as _os
+        try:
+            _os.environ["VLLM_TPU_W4A8"] = "1"
+            t4 = bench(lambda x: quant_matmul(x, qw, use_kernel=True,
+                                              interpret=False), x)
+            w4a8 = f"w4a8 {t4*1e6:7.1f}us ({flops/t4/peak*100:4.1f}%)"
+        except Exception as e:  # pragma: no cover - chip-dependent
+            w4a8 = f"w4a8 FAILED ({type(e).__name__})"
+        finally:
+            del _os.environ["VLLM_TPU_W4A8"]
+
         print(f"K={k:6d} N={n:6d} tiles=({tile_k},{tile_n}): "
               f"XLA {t1*1e6:7.1f}us ({flops/t1/peak*100:4.1f}%)  "
               f"pallas-dense {t2*1e6:7.1f}us ({flops/t2/peak*100:4.1f}%)  "
-              f"fused-int4 {t3*1e6:7.1f}us ({flops/t3/peak*100:4.1f}%)")
+              f"fused-int4 {t3*1e6:7.1f}us ({flops/t3/peak*100:4.1f}%)  "
+              f"{w4a8}")
 
 
 if __name__ == "__main__":

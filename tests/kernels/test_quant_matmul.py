@@ -114,6 +114,32 @@ def test_prefill_kernel_matches_reference(rng, m, k, n, fmt):
         rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("m,k,n", PREFILL_SHAPES)
+def test_w4a8_prefill_matches_reference(rng, m, k, n, monkeypatch):
+    """The int8-activation prefill kernel: integer dots are exact, so
+    the only error is per-token activation rounding — bounded by the
+    int8 step relative to the row max (|x|<=sx*127, err<=sx/2)."""
+    monkeypatch.setenv("VLLM_TPU_W4A8", "1")
+    w, qw = _make_qw(rng, k, n, fmt="i8pair")
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    ref = qf.quant_matmul_ref(x, qw)
+    out = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    assert out.shape == (m, n)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    scale = np.abs(np.asarray(ref, np.float32)).mean() + 1e-3
+    # W4A8 changes numerics by design; bound the mean relative error.
+    assert err.mean() / scale < 0.05, err.mean() / scale
+
+
+def test_w4a8_quantize_rows():
+    x = jnp.asarray([[0.5, -1.0, 0.25], [2.0, 0.0, -4.0]], jnp.float32)
+    from vllm_quick_tpu.ops.quant_matmul import quantize_rows_i8
+    xi, sx = quantize_rows_i8(x)
+    np.testing.assert_allclose(np.asarray(xi * sx), np.asarray(x),
+                               rtol=2e-2, atol=2e-2)
+    assert xi.dtype == jnp.int8 and np.abs(np.asarray(xi)).max() <= 127
+
+
 def test_tiled_dequant_fallback_matches_reference(rng):
     """The memory-bounded N-tiled fallback (ref/sqllm formats and CPU
     large-M) must agree with the full-matrix reference math."""

@@ -324,6 +324,116 @@ def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _prefill_kernel_w4a8(xi_ref, sx_ref, p_ref, s_ref, z_ref, o_ref,
+                         acc_ref, *, tile_k: int):
+    """W4A8 prefill kernel: activations pre-quantized to int8 (per-token
+    symmetric scale), weights used as raw int8 nibble planes — every dot
+    is s8 x s8 -> s32 on the MXU's double-rate int8 path (v5e: 394 TOPS
+    vs 197 bf16). The group-correction identity absorbs both the zero
+    point and the i8 offset-binary hi-plane transform exactly as in the
+    decode kernel; the per-token activation scale is a rank-1 factor
+    applied once at the end. No dequantized weight tile is ever
+    materialized (the bf16 prefill kernel's w_scratch disappears).
+
+    Numerics: int8-quantized activations (the W4A8 trade measured by the
+    perplexity gate); the integer dots themselves are exact, so the only
+    error source is the activation rounding."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_sb = tile_k // SUPERBLOCK
+    half = SUPERBLOCK // 2
+    acc = acc_ref[:]
+    for sb in range(n_sb):
+        p = p_ref[sb * half:(sb + 1) * half, :]
+        lo = p & 0x0F                                   # q_lo in 0..15
+        hi = (p & jnp.int8(-16)) ^ jnp.int8(-128)       # 16*q_hi - 128
+        xlo = xi_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
+        xhi = xi_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
+        plo = jnp.dot(xlo, lo, preferred_element_type=jnp.int32)
+        phi = jnp.dot(xhi, hi, preferred_element_type=jnp.int32)
+        xslo = jnp.sum(xlo.astype(jnp.int32), axis=1, keepdims=True)
+        xshi = jnp.sum(xhi.astype(jnp.int32), axis=1, keepdims=True)
+        slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+        zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+        acc = (acc
+               + (plo.astype(jnp.float32)
+                  - xslo.astype(jnp.float32) * zlo) * slo
+               + (phi.astype(jnp.float32)
+                  - xshi.astype(jnp.float32) * (zhi - 8.0) * 16.0)
+               * (shi * 0.0625))
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] * sx_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+def quantize_rows_i8(x: jax.Array):
+    """Per-row symmetric int8 quantization: x ~= xi * sx.
+
+    Plain jnp (XLA fuses it into one pass over x); the extra read of x
+    is trivial next to the prefill GEMM it feeds."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xi = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
+                  127).astype(jnp.int8)
+    return xi, sx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "tile_m"))
+def _fused_quant_matmul_3d_w4a8(xi: jax.Array, sx: jax.Array,
+                                packed: jax.Array, scales: jax.Array,
+                                zeros: jax.Array, *, tile_m: int,
+                                out_dtype=jnp.bfloat16,
+                                interpret: bool = False) -> jax.Array:
+    """W4A8 prefill variant of :func:`_fused_quant_matmul_3d`.
+    xi: [Mp, Kp] int8, sx: [Mp, 1] f32 per-row activation scales."""
+    mp, kp = xi.shape
+    np_ = packed.shape[-1]
+    tile_k, tile_n = _choose_tiles_prefill(kp, np_, tile_m)
+    grid = (mp // tile_m, np_ // tile_n, kp // tile_k)
+    kernel = functools.partial(_prefill_kernel_w4a8, tile_k=tile_k)
+    p_spec = pl.BlockSpec((tile_k // 2, tile_n), lambda i, j, k: (k, j))
+    sz_spec = pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                           lambda i, j, k: (k, j))
+    m_tiles, n_tiles = grid[0], grid[1]
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (m_tiles * (kp * np_ // 2
+                                 + 2 * (kp // EFF_GROUP) * np_ * 2)
+                      + n_tiles * mp * (kp + 4) + mp * np_ * 2)
+    kwargs = {}
+    if not interpret and not os.environ.get("VLLM_TPU_QMM_3D_NODIMSEM"):
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k)),   # xi
+            pl.BlockSpec((tile_m, 1), lambda i, j, k: (i, 0)),        # sx
+            p_spec,
+            sz_spec,
+            sz_spec,
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+        **kwargs,
+    )(xi, sx, packed, scales, zeros)
+
+
 def _prefill_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
                        w_ref, *, tile_k: int):
     k_idx = pl.program_id(2)
@@ -868,10 +978,21 @@ def quant_matmul(
         mp = _round_up(m, tile_m)
         if mp != m or qw.padded_in != k:
             x2 = jnp.pad(x2, ((0, mp - m), (0, qw.padded_in - k)))
-        y = _fused_quant_matmul_3d(x2.astype(jnp.bfloat16), qw.packed,
-                                   qw.scales, qw.zeros, tile_m=tile_m,
-                                   fmt_is_u4=(qw.fmt == "u4"),
-                                   out_dtype=out_dtype, interpret=interpret)
+        if os.environ.get("VLLM_TPU_W4A8") and qw.fmt == "i8pair":
+            # int8-activation prefill: s8 x s8 MXU dots (2x peak rate);
+            # numerics gated by tests/test_perplexity.py before this can
+            # become a default.
+            xi, sx = quantize_rows_i8(x2)
+            y = _fused_quant_matmul_3d_w4a8(xi, sx, qw.packed, qw.scales,
+                                            qw.zeros, tile_m=tile_m,
+                                            out_dtype=out_dtype,
+                                            interpret=interpret)
+        else:
+            y = _fused_quant_matmul_3d(x2.astype(jnp.bfloat16), qw.packed,
+                                       qw.scales, qw.zeros, tile_m=tile_m,
+                                       fmt_is_u4=(qw.fmt == "u4"),
+                                       out_dtype=out_dtype,
+                                       interpret=interpret)
     return y[:m, :qw.out_features].reshape(*lead, qw.out_features)
 
 
