@@ -46,9 +46,23 @@ def build_7b_params(model):
             "down": q(inter, e, "row"),
         })
     embed = jnp.zeros((model.vocab_size, e), jnp.bfloat16)
+    # BENCH_LMHEAD=int8 A/Bs the per-column int8 PTQ head (halves the
+    # 0.26 GB bf16 stream; ops/dense_matmul.py int8 variant).
+    # int8 default: on-chip A/B measured 160.46 vs 156.28 tok/s (round
+    # 4), ppl-gated by tests/test_perplexity.py::test_int8_lm_head_ppl_delta.
+    if os.environ.get("BENCH_LMHEAD", "int8") == "int8":
+        import numpy as _np
+        from vllm_quick_tpu.ops.dense_matmul import quantize_cols_i8
+        rng = _np.random.default_rng(0)
+        wi8, s = quantize_cols_i8(
+            rng.standard_normal((e, model.vocab_size)).astype(_np.float32)
+            * 0.02)
+        lm_head = {"wi8": wi8, "s": s}
+    else:
+        lm_head = jnp.zeros((e, model.vocab_size), jnp.bfloat16)
     return {"embed": embed, "layers": layers,
             "final_norm": jnp.ones((e,), jnp.bfloat16),
-            "lm_head": jnp.zeros((e, model.vocab_size), jnp.bfloat16)}
+            "lm_head": lm_head}
 
 
 def main():
@@ -182,6 +196,16 @@ def main():
                 nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
                 return (nxt, p + 1, ctx + 1, caches), nxt
 
+            if os.environ.get("BENCH_MULTI_UNROLL"):
+                # A/B: python-unrolled chain (the breakdown's repetition
+                # slope measures ~0.8 ms/step faster than lax.scan —
+                # isolate whether the loop construct itself is the cost).
+                carry = (input_ids, positions, ctx0, kv_caches)
+                toks = []
+                for _ in range(ksteps):
+                    carry, nxt = body(carry, None)
+                    toks.append(nxt)
+                return jnp.stack(toks), carry[3]
             carry, toks = jax.lax.scan(
                 body, (input_ids, positions, ctx0, kv_caches),
                 None, length=ksteps)

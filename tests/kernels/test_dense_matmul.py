@@ -34,3 +34,33 @@ def test_leading_dims_and_fallback(rng):
     xl = jnp.zeros((128, 128), jnp.bfloat16)
     out = dense_matmul_small_m(xl, w)
     assert out.shape == (128, 256)
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (1, 256, 512),
+    (3, 300, 1000),      # ragged -> padded weight + scales
+])
+def test_i8_head_matches_dequant(rng, m, k, n):
+    """int8 lm_head: (x @ wi8) * s vs x @ (wi8 * s) — quantization is
+    the only error source, and the test compares against the EXACT
+    dequantized product, so tolerances stay tight."""
+    from vllm_quick_tpu.ops.dense_matmul import (dense_matmul_small_m_i8,
+                                                 quantize_cols_i8)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    wi8, s = quantize_cols_i8(w)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+    got = np.asarray(dense_matmul_small_m_i8(x, wi8, s, use_kernel=True,
+                                             interpret=True), np.float32)
+    wd = np.asarray(wi8, np.float32) * np.asarray(s, np.float32)
+    want = np.asarray(x, np.float32) @ wd
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_quantize_cols_i8_roundtrip(rng):
+    from vllm_quick_tpu.ops.dense_matmul import quantize_cols_i8
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    wi8, s = quantize_cols_i8(w)
+    assert wi8.dtype == jnp.int8 and s.shape == (1, 96)
+    np.testing.assert_allclose(
+        np.asarray(wi8, np.float32) * np.asarray(s), w,
+        atol=np.abs(w).max() / 127 + 1e-6)

@@ -98,3 +98,20 @@ def test_int4_vs_dequant_ppl_delta(tmp_path):
     md, pd = get_model(ModelConfig(model=ddir, dtype="float32"))
     ppl_d, _ = compute_perplexity(md, pd, token_ids, max_len=48)
     assert abs(ppl_q - ppl_d) / ppl_d < 0.02, (ppl_q, ppl_d)
+
+
+def test_int8_lm_head_ppl_delta():
+    """Gate for lm_head_dtype=int8 (per-column PTQ, ops/dense_matmul.py):
+    perplexity on the SAME weights must stay within the 0.1-equivalent
+    relative band of the bf16 head — the accuracy evidence behind the
+    bench/serving default (BREAKDOWN.md round 4)."""
+    d = make_tiny_llama_dir()
+    rng = np.random.default_rng(2)
+    token_ids = rng.integers(3, 250, size=96).tolist()
+    m0, p0 = get_model(ModelConfig(model=d, dtype="float32"))
+    ppl0, _ = compute_perplexity(m0, p0, token_ids, max_len=48)
+    m8, p8 = get_model(ModelConfig(model=d, dtype="float32",
+                                   lm_head_dtype="int8"))
+    assert isinstance(p8["lm_head"], dict)          # transform applied
+    ppl8, _ = compute_perplexity(m8, p8, token_ids, max_len=48)
+    assert abs(ppl8 - ppl0) / ppl0 < 0.02, (ppl8, ppl0)

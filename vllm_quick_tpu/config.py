@@ -42,6 +42,7 @@ class ModelConfig:
         enforce_eager: bool = False,
         max_context_len_to_capture: Optional[int] = None,
         hf_config: Optional[PretrainedConfig] = None,
+        lm_head_dtype: str = "auto",
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer or model
@@ -55,6 +56,13 @@ class ModelConfig:
         self.quantization = quantization
         self.enforce_eager = enforce_eager
         self.max_context_len_to_capture = max_context_len_to_capture
+        # "auto" keeps the checkpoint head dtype; "int8" applies
+        # per-column symmetric PTQ at load (ops/dense_matmul.py),
+        # halving the lm_head HBM stream in the decode step.
+        if lm_head_dtype not in ("auto", "int8"):
+            raise ValueError(
+                f"lm_head_dtype must be auto|int8, got {lm_head_dtype}")
+        self.lm_head_dtype = lm_head_dtype
 
         self._verify_load_format()
         self._verify_tokenizer_mode()

@@ -24,6 +24,7 @@ class EngineArgs:
     load_format: str = "auto"
     dtype: str = "auto"
     kv_cache_dtype: str = "auto"
+    lm_head_dtype: str = "auto"
     seed: int = 0
     max_model_len: Optional[int] = None
     worker_use_ray: bool = False        # accepted for CLI parity; unused
@@ -111,6 +112,7 @@ class EngineArgs:
             quantization=self.quantization,
             enforce_eager=self.enforce_eager,
             max_context_len_to_capture=self.max_context_len_to_capture,
+            lm_head_dtype=self.lm_head_dtype,
         )
         cache_config = CacheConfig(
             block_size=self.block_size,

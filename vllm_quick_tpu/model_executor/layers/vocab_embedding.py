@@ -43,9 +43,17 @@ def unembed(hidden: jax.Array, lm_head_weight: jax.Array,
     M is tiny, so the matmul goes through the streaming Pallas kernel
     (ops/dense_matmul.py) — XLA's batch-1 matvec runs ~6x under the
     HBM copy rate on this part."""
-    from vllm_quick_tpu.ops.dense_matmul import dense_matmul_small_m
-    logits = dense_matmul_small_m(hidden, lm_head_weight,
-                                  out_dtype=jnp.float32)
+    if isinstance(lm_head_weight, dict):
+        # int8 PTQ'd head ({"wi8", "s"}, layers/…/quantize_lm_head_i8):
+        # halves the last large bf16 stream in the decode step.
+        from vllm_quick_tpu.ops.dense_matmul import dense_matmul_small_m_i8
+        logits = dense_matmul_small_m_i8(hidden, lm_head_weight["wi8"],
+                                         lm_head_weight["s"],
+                                         out_dtype=jnp.float32)
+    else:
+        from vllm_quick_tpu.ops.dense_matmul import dense_matmul_small_m
+        logits = dense_matmul_small_m(hidden, lm_head_weight,
+                                      out_dtype=jnp.float32)
     if bias is not None:
         logits = logits + bias
     logits = ctx.tp_all_gather(logits, axis=-1)

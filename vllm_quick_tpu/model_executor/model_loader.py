@@ -86,4 +86,25 @@ def get_model(
         params = model.init_dummy_params(model_config.seed)
     else:
         params = model.load_params(weights, tp_rank=tp_rank)
+    params = _maybe_quantize_lm_head(model_config, params)
     return model, params
+
+
+def _maybe_quantize_lm_head(model_config, params):
+    """lm_head_dtype=int8 (or VLLM_TPU_LMHEAD_I8=1): replace the bf16
+    head with per-column int8 PTQ ({"wi8","s"}; consumed by
+    layers/vocab_embedding.unembed). Single-chip only — under tp the
+    head is mesh-sharded and the pspec machinery doesn't carry dicts."""
+    import os
+
+    want = (getattr(model_config, "lm_head_dtype", "auto") == "int8"
+            or os.environ.get("VLLM_TPU_LMHEAD_I8"))
+    if not want or not isinstance(params, dict):
+        return params
+    w = params.get("lm_head")
+    if w is None or isinstance(w, dict):
+        return params
+    from vllm_quick_tpu.ops.dense_matmul import quantize_cols_i8
+    wi8, s = quantize_cols_i8(w)
+    params["lm_head"] = {"wi8": wi8, "s": s}
+    return params
