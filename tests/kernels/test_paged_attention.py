@@ -256,3 +256,67 @@ def test_decode_partials_combine_matches_full(rng):
     np_.testing.assert_allclose(np_.asarray(combined, np_.float32),
                                 np_.asarray(ref, np_.float32),
                                 rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("b,hq,hkv,d,bs,mb,cache_dtype", [
+    (2, 4, 4, 128, 16, 4, jnp.float32),       # MHA
+    (3, 8, 2, 128, 16, 3, jnp.float32),       # GQA
+    (1, 8, 8, 128, 32, 4, jnp.float8_e5m2),   # fp8 KV, block 32
+])
+def test_fused_rope_write_matches_unfused(rng, b, hq, hkv, d, bs, mb,
+                                          cache_dtype):
+    """The single-call rope+write+attend kernel must produce the SAME
+    cache state and attention output as the unfused pipeline
+    (rope -> reshape_and_cache -> paged_decode_attention_ref)."""
+    from vllm_quick_tpu.model_executor.layers.rotary_embedding import (
+        RotaryEmbedding)
+    from vllm_quick_tpu.ops.paged_attention import (
+        paged_decode_attention_fused)
+
+    q0, kv, bt, cl = make_case(rng, b, hq, hkv, d, bs, mb,
+                               dtype=jnp.float32)
+    kv = kv.astype(cache_dtype)
+    # Decode step: context_lens INCLUDES the current token; its slot is
+    # position cl-1 within the sequence's block list.
+    cl = jnp.maximum(cl, 1)
+    pos = cl - 1
+    rows = jnp.arange(b)
+    slots = bt[rows, pos // bs] * bs + pos % bs
+    # bf16 activations: what the qkv projection emits in production —
+    # and what aligns the two paths' fp8 rounding exactly.
+    q0 = q0.astype(jnp.bfloat16).astype(jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((b, hkv, d)),
+                        jnp.bfloat16).astype(jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, hkv, d)),
+                        jnp.bfloat16).astype(jnp.float32)
+
+    rope = RotaryEmbedding(d, d, 4096, 10000.0, is_neox_style=True)
+    scale = d**-0.5
+
+    # Unfused reference pipeline (mimics layers/attention.py);
+    # rope() expects [..., heads, d] with positions [...].
+    qr, kr = rope(pos, q0, k_new)
+    kv_ref = reshape_and_cache(kr.astype(cache_dtype).astype(jnp.float32)
+                               .astype(cache_dtype),
+                               v_new.astype(cache_dtype), kv, slots)
+    want = oracle_decode(np.asarray(qr, np.float32),
+                         np.asarray(kv_ref[:, 0], np.float32),
+                         np.asarray(kv_ref[:, 1], np.float32),
+                         np.asarray(bt), np.asarray(cl), scale)
+
+    # Fused path: cos/sin rows duplicated across halves ([B, 2, D]).
+    cs = rope.cos_sin[pos]                           # [B, d] (cos|sin)
+    cos_h, sin_h = jnp.split(cs, 2, axis=-1)
+    cos_sin = jnp.stack([jnp.concatenate([cos_h, cos_h], axis=-1),
+                         jnp.concatenate([sin_h, sin_h], axis=-1)],
+                        axis=1)                      # [B, 2, d]
+    got, kv_got = paged_decode_attention_fused(
+        q0, k_new, v_new, cos_sin, kv, bt, cl, slots, scale,
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=2e-2, atol=2e-2)
+    # Cache state identical to the unfused write.
+    np.testing.assert_allclose(
+        np.asarray(kv_got, np.float32), np.asarray(kv_ref, np.float32),
+        rtol=1e-2, atol=1e-2)

@@ -51,6 +51,45 @@ class Attention:
                 "context parallelism (sp > 1) supports plain causal "
                 "attention only")
 
+    def fused_rope_write_ok(self, meta: InputMetadata, kv_cache: KVCache,
+                            rotary_dim: int, is_neox_style: bool) -> bool:
+        """Whether the single-call rope+write+attend decode kernel
+        (ops/paged_attention.py::paged_decode_attention_fused) applies:
+        plain causal decode (no ALiBi, no sliding window — the window
+        ring layout breaks the kernel's append-only slot masking), no
+        context parallelism, full-head neox rope, compiled-kernel cache
+        geometry."""
+        from vllm_quick_tpu.ops.paged_attention import fused_rope_write_ok
+        if meta.is_prompt or self.sliding_window is not None:
+            return False
+        if self.ctx is not None and self.ctx.sp_size > 1:
+            return False
+        if meta.block_tables is None or meta.slot_mapping.ndim != 1:
+            return False
+        return fused_rope_write_ok(self.head_size, rotary_dim,
+                                   is_neox_style, kv_cache.shape[3],
+                                   kv_cache.dtype, self.alibi_slopes)
+
+    def decode_fused_rope_write(
+        self,
+        q: jax.Array,         # [B, Hq, D] PRE-rope
+        k: jax.Array,         # [B, Hkv, D] PRE-rope
+        v: jax.Array,         # [B, Hkv, D]
+        cos_sin: jax.Array,   # [B, 2, D] (RotaryEmbedding.full_cos_sin)
+        kv_cache: KVCache,
+        meta: InputMetadata,
+    ) -> Tuple[jax.Array, KVCache]:
+        """rope + cache write + paged attention in one Pallas call;
+        caller gates with :meth:`fused_rope_write_ok`."""
+        from vllm_quick_tpu.ops.paged_attention import (
+            paged_decode_attention_fused)
+        out, kv_cache = paged_decode_attention_fused(
+            q, k, v, cos_sin, kv_cache, meta.block_tables,
+            meta.context_lens, meta.slot_mapping, self.scale)
+        b = q.shape[0]
+        return (out.reshape(b, self.num_heads * self.head_size),
+                kv_cache)
+
     def __call__(
         self,
         query: jax.Array,     # [B, L, Hq*D] prefill | [B, Hq*D] decode

@@ -54,6 +54,17 @@ class RotaryEmbedding:
         return (self._apply(query, cos, sin),
                 self._apply(key, cos, sin))
 
+    def full_cos_sin(self, positions: jax.Array) -> jax.Array:
+        """[..., 2, rot_dim] full-width cos/sin rows (halves duplicated,
+        neox layout) for the in-kernel rotation of the fused decode
+        attention path (ops/paged_attention.py). Identical gathers
+        across layers CSE to one under jit."""
+        cs = self.cos_sin[positions]                   # [..., rot_dim]
+        cos, sin = jnp.split(cs, 2, axis=-1)
+        return jnp.stack(
+            [jnp.concatenate([cos, cos], axis=-1),
+             jnp.concatenate([sin, sin], axis=-1)], axis=-2)
+
     def _apply(self, x: jax.Array, cos: jax.Array,
                sin: jax.Array) -> jax.Array:
         dtype = x.dtype

@@ -140,6 +140,19 @@ class LlamaForCausalLM:
         lead = q.shape[:-1]
         qh = q.reshape(*lead, self.num_heads, self.head_dim)
         kh = k.reshape(*lead, self.num_kv_heads, self.head_dim)
+        if (len(lead) == 1
+                and getattr(self.rope, "is_neox_style", False)
+                and self.rope.rotary_dim == self.head_dim
+                and not os.environ.get("VLLM_TPU_NO_FUSED_ATTN_RW")
+                and self.attn.fused_rope_write_ok(
+                    meta, kv_cache, self.rope.rotary_dim, True)):
+            # Decode: rope + cache write + attend in ONE pallas call
+            # (ops/paged_attention.py) — removes the per-layer XLA rope
+            # fusions and the fp8-convert + dus cache write.
+            cs = self.rope.full_cos_sin(positions)      # [B, 2, D]
+            vh = v.reshape(*lead, self.num_kv_heads, self.head_dim)
+            return self.attn.decode_fused_rope_write(
+                qh, kh, vh, cs, kv_cache, meta)
         qh, kh = self.rope(positions, qh, kh)
         return self.attn(qh.reshape(*lead, -1), kh.reshape(*lead, -1),
                          v, kv_cache, meta, positions=positions)

@@ -89,13 +89,59 @@ def _decode_kernel(
     lm_ref=None,         # [1, rows, 128] f32: col 0 = sumexp l, col 1
                          # = running max m; set for the sp-partials
                          # variant (ops/ring_attention.py combine).
+    rw=None,             # fused rope+cache-write refs (dict): slots
+                         # (SMEM [B]), knew/vnew ([1, Hkv, D] VMEM,
+                         # pre-rope), cs ([1, 2, D] f32 VMEM: full-width
+                         # cos/sin), kv_out (ANY, aliased to kv_hbm),
+                         # wbuf ([2, Hkv, S, D] cache-dtype VMEM block
+                         # RMW staging), wsem (DMA (2,): read, write).
 ):
     b = pl.program_id(0)
     ctx = context_lens_ref[b]
     s_blk = block_size
-    num_blocks = jax.lax.div(ctx + s_blk - 1, s_blk)
-    num_groups = jax.lax.div(num_blocks + _W - 1, _W)
     h = num_kv_heads
+    d = q_ref.shape[-1]
+    if rw is None:
+        ctx_str = ctx                    # tokens streamed from HBM
+    else:
+        # Fused rope + cache write + attend (decode): the current
+        # token's K/V never round-trips through an XLA dus — it is
+        # rotated, quantized and DMA'd into the paged cache FROM THE
+        # KERNEL while the streamed part of attention runs, and its
+        # attention contribution is added from VMEM in the epilogue
+        # (so there is no read-after-write hazard: streamed positions
+        # are masked to pos < ctx-1). Replaces the per-layer XLA rope
+        # fusions + fp8-convert + fused-dus write (the reference pays
+        # a separate reshape_and_cache kernel launch per layer,
+        # csrc/cache_kernels.cu:269).
+        assert lm_ref is None
+        ctx_str = ctx - 1
+        slot = rw["slots"][b]
+        blk_w = jax.lax.div(slot, s_blk)
+        off_w = jax.lax.rem(slot, s_blk)
+        cosf = rw["cs"][0, 0:1, :].astype(jnp.float32)   # [1, D]
+        sinf = rw["cs"][0, 1:2, :].astype(jnp.float32)
+        half_d = d // 2
+
+        def _rope(x):                    # [r, D] f32, neox rotate-half
+            xr = jnp.concatenate([-x[:, half_d:], x[:, :half_d]], axis=1)
+            return x * cosf + xr * sinf
+
+        kn = _rope(rw["knew"][0].astype(jnp.float32))
+        vn = rw["vnew"][0].astype(jnp.float32)
+        # Whole-block read-modify-write: sub-tile (single sublane) DMA
+        # slices are illegal under Mosaic's packed tilings (bf16 packs
+        # 2 sublanes/word, fp8 more), so fetch the target block pair,
+        # replace the slot's row with a vector select, and write the
+        # block back. Rows other than the slot are written back
+        # byte-identical, so the in-flight write-back cannot corrupt a
+        # concurrent streamed read of the same block; the slot row
+        # itself is excluded from the streamed mask (pos < ctx-1).
+        r_dma = pltpu.make_async_copy(kv_hbm.at[blk_w], rw["wbuf"],
+                                      rw["wsem"].at[0])
+        r_dma.start()
+    num_blocks = jax.lax.div(ctx_str + s_blk - 1, s_blk)
+    num_groups = jax.lax.div(num_blocks + _W - 1, _W)
 
     def start_block(g_slot, w, j):
         blk = block_tables_ref[b, j]
@@ -171,11 +217,26 @@ def _decode_kernel(
             start_group(g0)
 
     rows = h * gp
-    d = q_ref.shape[-1]
     cols = _W * h * s_blk      # flattened group column count
     # bf16 MXU operands with fp32 accumulation: full MXU rate (the
     # masked dot carries an hkv-fold FLOP inflation, so rate matters).
-    q2 = q_ref[0]                                        # [rows, D] bf16
+    if rw is None:
+        q2 = q_ref[0]                                    # [rows, D] bf16
+    else:
+        q2 = _rope(q_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+        # Splice the new row into the fetched block and write it back
+        # (one block-pair DMA each way; see the RMW note above).
+        r_dma.wait()
+        sel = jax.lax.broadcasted_iota(jnp.int32, (1, s_blk, 1),
+                                       1) == off_w
+        kc = kn.astype(rw["wbuf"].dtype)                 # [Hkv, D]
+        vc = vn.astype(rw["wbuf"].dtype)
+        rw["wbuf"][0] = jnp.where(sel, kc[:, None, :], rw["wbuf"][0])
+        rw["wbuf"][1] = jnp.where(sel, vc[:, None, :], rw["wbuf"][1])
+        w_dma = pltpu.make_async_copy(rw["wbuf"],
+                                      rw["kv_out"].at[blk_w],
+                                      rw["wsem"].at[1])
+        w_dma.start()
 
     # Static per-column metadata: owning kv-head and within-group token
     # offset. Column c = (w * H + head) * S + s.
@@ -200,7 +261,7 @@ def _decode_kernel(
             preferred_element_type=jnp.float32) * scale  # [rows, cols]
 
         pos = g * (_W * s_blk) + col_off                 # [1, cols]
-        mask = jnp.logical_and(head_ok, pos < ctx)
+        mask = jnp.logical_and(head_ok, pos < ctx_str)
         if sliding_window is not None:
             mask = jnp.logical_and(mask, pos >= ctx - sliding_window)
         if alibi_ref is not None:
@@ -231,6 +292,23 @@ def _decode_kernel(
     l0 = jnp.zeros((rows, 1), dtype=jnp.float32)
     acc0 = jnp.zeros((rows, d), dtype=jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_groups, body, (m0, l0, acc0))
+    if rw is not None:
+        # Current-token contribution from registers, via the cache-dtype
+        # round trip so this step sees exactly the (possibly fp8) values
+        # future steps will stream — step-invariant numerics.
+        kq = kc.astype(jnp.float32).reshape(h, 1, d)
+        vq = vc.astype(jnp.float32).reshape(h, 1, d)
+        k_row = jnp.broadcast_to(kq, (h, gp, d)).reshape(rows, d)
+        v_row = jnp.broadcast_to(vq, (h, gp, d)).reshape(rows, d)
+        s_cur = jnp.sum(q2.astype(jnp.float32) * k_row, axis=1,
+                        keepdims=True) * scale           # [rows, 1]
+        m2 = jnp.maximum(m, s_cur)
+        alpha = jnp.exp(m - m2)
+        p_cur = jnp.exp(s_cur - m2)
+        l = l * alpha + p_cur
+        acc = acc * alpha + p_cur * v_row
+        m = m2
+        w_dma.wait()
     if lm_ref is None:
         o_ref[0] = acc / jnp.maximum(l, 1e-20)
     else:
@@ -446,6 +524,116 @@ def _paged_decode(q, kv_cache, block_tables, context_lens,
         out_shape=out_shape,
         interpret=interpret,
     )(block_tables, context_lens, *args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gp", "scale", "sliding_window", "interpret"),
+    donate_argnums=(4,))
+def _paged_decode_rw(q, knew, vnew, cs, kv_cache, block_tables,
+                     context_lens, slots, *, gp, scale, sliding_window,
+                     interpret=False):
+    """Fused rope + cache-write + paged attention (decode). Returns
+    (out [B, rows, D] f32, kv_cache) with the cache updated IN PLACE
+    via pallas input_output_aliases — no XLA dus, no rope fusions."""
+    b, rows, d = q.shape
+    nb, _two, hkv, s, _ = kv_cache.shape
+
+    def kernel(bt, cl, sl, q_ref, kv_hbm, knew_ref, vnew_ref, cs_ref,
+               o_ref, kv_out, k_buf, v_buf, k_sem, v_sem, wbuf, wsem):
+        return _decode_kernel(
+            bt, cl, q_ref, kv_hbm, None, o_ref, k_buf, v_buf, k_sem,
+            v_sem, block_size=s, num_kv_heads=hkv, gp=gp, scale=scale,
+            sliding_window=sliding_window,
+            rw=dict(slots=sl, knew=knew_ref, vnew=vnew_ref, cs=cs_ref,
+                    kv_out=kv_out, wbuf=wbuf, wsem=wsem))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hkv, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, hkv, d), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 2, d), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, rows, d), lambda i, *_: (i, 0, 0)),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
+            pltpu.VMEM((_N_GRP, _W, hkv, s, d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
+            pltpu.SemaphoreType.DMA((_N_GRP, _W)),
+            pltpu.VMEM((2, hkv, s, d), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # Operand order: 3 scalar-prefetch args then tensor inputs; the
+    # cache is operand 4 (bt, cl, slots, q, kv) aliased to output 1.
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, rows, d), jnp.float32),
+                   jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)),
+        input_output_aliases={4: 1},
+        interpret=interpret,
+    )(block_tables, context_lens, slots, q, kv_cache, knew, vnew, cs)
+
+
+def fused_rope_write_ok(head_size: int, rotary_dim: int,
+                        is_neox_style: bool, block_size: int,
+                        kv_dtype, alibi_slopes) -> bool:
+    """The fused rope+write+attend decode path requires full-head neox
+    rope, no ALiBi, and the compiled-kernel cache geometry."""
+    if os.environ.get("VLLM_TPU_NO_FUSED_ATTN_RW"):
+        return False
+    return (alibi_slopes is None and is_neox_style
+            and rotary_dim == head_size
+            and use_pallas_attention(head_size, block_size, kv_dtype))
+
+
+def paged_decode_attention_fused(
+    q: jax.Array,               # [B, Hq, D] PRE-rope
+    k_new: jax.Array,           # [B, Hkv, D] PRE-rope
+    v_new: jax.Array,           # [B, Hkv, D]
+    cos_sin: jax.Array,         # [B, 2, D] f32 full-width cos/sin rows
+    kv_cache: jax.Array,        # [NB, 2, Hkv, S, D] fused
+    block_tables: jax.Array,    # [B, MB] int32
+    context_lens: jax.Array,    # [B] int32 (INCLUDING current token)
+    slot_mapping: jax.Array,    # [B] int32 (current token's slot)
+    scale: float,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+):
+    """rope(q,k) + cache write + paged attention in ONE pallas call;
+    returns (out [B, Hq, D], updated kv_cache). The write DMA overlaps
+    the streamed attention; the current token attends from VMEM (via a
+    cache-dtype round trip, so numerics match the unfused path
+    exactly). Caller gates with :func:`fused_rope_write_ok`."""
+    b, hq, d = q.shape
+    hkv = kv_cache.shape[2]
+    g = hq // hkv
+    mb = block_tables.shape[1]
+    if mb % _W != 0:
+        block_tables = jnp.pad(block_tables,
+                               ((0, 0), (0, _W - mb % _W)))
+    gp = g
+    while (hkv * gp) % 8 != 0:
+        gp += 1
+    qg = q.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    qg = qg.reshape(b, hkv * gp, d)
+    out, kv_cache = _paged_decode_rw(
+        qg.astype(jnp.bfloat16), k_new.astype(jnp.bfloat16),
+        v_new.astype(jnp.bfloat16), cos_sin.astype(jnp.float32),
+        kv_cache, block_tables.astype(jnp.int32),
+        context_lens.astype(jnp.int32), slot_mapping.astype(jnp.int32),
+        gp=gp, scale=float(scale), sliding_window=sliding_window,
+        interpret=interpret)
+    out = out.reshape(b, hkv, gp, d)[:, :, :g, :].reshape(b, hq, d)
+    return out.astype(q.dtype), kv_cache
 
 
 def paged_decode_attention_partials(
