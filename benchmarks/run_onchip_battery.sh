@@ -69,16 +69,20 @@ run 1200 "7a. prefill ctx512" env BENCH_PREFILL=1 BENCH_CTX=512 python bench.py
 run 1200 "7b. prefill ctx2048" env BENCH_PREFILL=1 BENCH_CTX=2048 python bench.py
 
 # 8. Serving TTFT/TPOT sweep (server + rates; own PID management).
-say "8. serving sweep"
-timeout 5400 benchmarks/run_serving_bench.sh "$CKPT7B" 1 2 4 \
+#    Perf config = the ppl-gated defaults the headline bench uses
+#    (fp8 KV + block 32 + int8 head; docs/engine_args.md decisions).
+say "8. serving sweep (fp8 KV, block 32, int8 head)"
+timeout 5400 env SERVER_ARGS="--kv-cache-dtype fp8_e5m2 --block-size 32 --lm-head-dtype int8" \
+    benchmarks/run_serving_bench.sh "$CKPT7B" 1 2 4 \
     || echo "!! serving sweep FAILED/timeout"
 
-# 9. Offline throughput + latency.
+# 9. Offline throughput + latency (same ppl-gated perf config).
 run 3600 "9a. offline throughput" python benchmarks/benchmark_throughput.py \
-    --model "$CKPT7B" --num-prompts 64 --input-len 128 --output-len 128
+    --model "$CKPT7B" --num-prompts 64 --input-len 128 --output-len 128 \
+    --kv-cache-dtype fp8_e5m2
 run 2400 "9b. latency batch8" python benchmarks/benchmark_latency.py \
     --model "$CKPT7B" --input-len 128 --output-len 64 --batch-size 8 \
-    --num-iters 3
+    --num-iters 3 --kv-cache-dtype fp8_e5m2
 
 # 10. Speculative decoding bench.
 run 5400 "10. spec decode" python benchmarks/benchmark_spec_decode.py \
