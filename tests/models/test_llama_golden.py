@@ -153,3 +153,59 @@ def test_quantized_forward_close_to_dense(tiny_llama_dir):
     ql_ = quant_logits[-1]
     corr = np.corrcoef(dl, ql_)[0, 1]
     assert corr > 0.99, corr
+
+
+def test_greedy_decode_fused_attn_matches_hf(tiny_llama_dir, monkeypatch):
+    """The fused rope+write+attend decode path (TPU default; forced on
+    here via interpret) must be token-identical to HF greedy decode —
+    the end-to-end guard over the kernel-level equivalence test."""
+    import functools
+    import torch
+
+    import vllm_quick_tpu.ops.paged_attention as pa
+
+    monkeypatch.setattr(pa, "use_pallas_attention",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(
+        pa, "paged_decode_attention_fused",
+        functools.partial(pa.paged_decode_attention_fused,
+                          interpret=True))
+
+    d, hf_model, cfg = tiny_llama_dir
+    mc = ModelConfig(model=d, dtype="float32", hf_config=cfg)
+    model, params = get_model(mc)
+    block_size = 16
+    prompt = [1, 7, 42, 3, 250]
+    n_steps = 6
+
+    with torch.no_grad():
+        hf_ids = hf_model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_steps,
+            do_sample=False, num_beams=1, pad_token_id=0)[0].tolist()
+    hf_new = hf_ids[len(prompt):]
+
+    logits, kv_caches = run_prefill(model, params, prompt,
+                                    block_size=block_size)
+    ours_new = []
+    ctx = len(prompt)
+    token = int(np.argmax(logits[ctx - 1]))
+    ours_new.append(token)
+    for _ in range(n_steps - 1):
+        pos = ctx
+        ctx += 1
+        blk = 1 + pos // block_size
+        slot = blk * block_size + pos % block_size
+        meta = InputMetadata(
+            is_prompt=False,
+            slot_mapping=jnp.asarray([slot], jnp.int32),
+            context_lens=jnp.asarray([ctx], jnp.int32),
+            block_tables=jnp.asarray([[1 + j for j in range(8)]],
+                                     jnp.int32))
+        hidden, kv_caches = model.forward(
+            params, jnp.asarray([token], jnp.int32),
+            jnp.asarray([pos], jnp.int32), kv_caches, meta)
+        logit = model.compute_logits(params, hidden)
+        token = int(np.argmax(np.asarray(logit[0], np.float32)))
+        ours_new.append(token)
+
+    assert ours_new == hf_new
