@@ -115,3 +115,37 @@ def test_int8_lm_head_ppl_delta():
     assert isinstance(p8["lm_head"], dict)          # transform applied
     ppl8, _ = compute_perplexity(m8, p8, token_ids, max_len=48)
     assert abs(ppl8 - ppl0) / ppl0 < 0.02, (ppl8, ppl0)
+
+
+def test_w4a8_prefill_ppl_delta(tmp_path, monkeypatch):
+    """Gate for VLLM_TPU_W4A8 (int8-activation prefill GEMMs): model
+    perplexity with the W4A8 kernel must stay within 3% of the bf16
+    fused-kernel path on the SAME quantized checkpoint — the accuracy
+    evidence required before W4A8 can become a prefill default."""
+    import functools
+
+    from benchmarks.make_synthetic_checkpoint import generate
+    import vllm_quick_tpu.model_executor.layers.linear as linear_mod
+    from vllm_quick_tpu.ops.quant_matmul import quant_matmul
+
+    # group 128 -> the i8pair format; windows > 64 tokens -> the
+    # M-tiled prefill kernel (W4A8 engages only above the decode-kernel
+    # token ceiling).
+    qdir = str(tmp_path / "awq")
+    generate(qdir, preset="tiny", group_size=128)
+    rng = np.random.default_rng(3)
+    token_ids = rng.integers(3, 250, size=200).tolist()
+
+    # Force the Pallas kernel path (interpret) on CPU so the prefill
+    # M-tiled kernel — and under the env flag, its W4A8 variant — is
+    # what computes the GEMMs, exactly as on TPU.
+    monkeypatch.setattr(
+        linear_mod, "quant_matmul",
+        functools.partial(quant_matmul, use_kernel=True, interpret=True))
+
+    mq, pq = get_model(ModelConfig(model=qdir, dtype="float32"))
+    ppl_bf16, _ = compute_perplexity(mq, pq, token_ids, max_len=96)
+    monkeypatch.setenv("VLLM_TPU_W4A8", "1")
+    ppl_w4a8, _ = compute_perplexity(mq, pq, token_ids, max_len=96)
+    assert abs(ppl_w4a8 - ppl_bf16) / ppl_bf16 < 0.03, (ppl_w4a8,
+                                                        ppl_bf16)
