@@ -319,3 +319,48 @@ def test_fused_mlp_norm_matches_composed_path(t, d, f):
                                np.asarray(r_want.astype(jnp.bfloat16),
                                           np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t,ko,d,f", [(1, 256, 256, 512),
+                                      (8, 512, 256, 256),
+                                      (3, 256, 512, 768)])
+def test_fused_o_mlp_norm_matches_composed_path(t, ko, d, f):
+    """The whole-layer-below-attention kernel: (y, r) must equal
+    o-proj + residual-add + rms_norm + the fused MLP chain."""
+    import jax
+    from vllm_quick_tpu.ops.quant_matmul import (fused_o_mlp_norm,
+                                                 o_mlp_fusable)
+
+    rng = np.random.default_rng(ko + 3 * d + f + t)
+    eps = 1e-6
+    wo = rng.standard_normal((ko, d)).astype(np.float32) * 0.1
+    wg = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((d, f)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((f, d)).astype(np.float32) * 0.1
+    qwo = qf.quantize_reference(wo)
+    qw13 = qf.quantize_reference(np.concatenate([wg, wu], axis=1))
+    qw2 = qf.quantize_reference(w2)
+    assert o_mlp_fusable(qwo, qw13, qw2)
+
+    attn = jnp.asarray(rng.standard_normal((t, ko)) * 0.5, jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((t, d)) * 0.5, jnp.bfloat16)
+    wn = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)), jnp.bfloat16)
+    y, r = fused_o_mlp_norm(attn, res, wn, qwo, qw13, qw2, eps=eps,
+                            interpret=True)
+    assert y.shape == (t, d) and r.shape == (t, d)
+
+    o = qf.quant_matmul_ref(attn, qwo)
+    r_want = (o.astype(jnp.float32) + res.astype(jnp.float32))
+    var = jnp.mean(r_want * r_want, axis=-1, keepdims=True)
+    xn = (r_want * jax.lax.rsqrt(var + eps)
+          * wn.astype(jnp.float32)).astype(jnp.bfloat16)
+    gu = qf.quant_matmul_ref(xn, qw13)
+    g, u = jnp.split(gu, 2, axis=-1)
+    hh = (jax.nn.silu(g.astype(jnp.float32))
+          * u.astype(jnp.float32)).astype(jnp.bfloat16)
+    want = np.asarray(qf.quant_matmul_ref(hh, qw2), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(np.asarray(y, np.float32) - want).max() / scale < 3e-2
+    r_scale = np.abs(np.asarray(r_want)).max() + 1e-6
+    assert (np.abs(np.asarray(r, np.float32) - np.asarray(r_want))
+            .max() / r_scale < 2e-2)

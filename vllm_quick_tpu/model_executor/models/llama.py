@@ -94,9 +94,13 @@ class LlamaForCausalLM:
                 qkv, residual = fused_qkv
                 x, cache = self._attention_core(qkv, positions,
                                                 kv_caches[i], meta)
+                new_caches.append(cache)
+                fused = self._o_mlp_norm_fused(layer, x, residual)
+                if fused is not None:
+                    h, residual = fused
+                    continue
                 x = apply_linear(layer["o"], x, meta.lora_indices)
                 x = self.ctx.tp_all_reduce(x)
-                new_caches.append(cache)
                 fused = self._mlp_block_norm_fused(layer, x, residual,
                                                    meta.lora_indices)
                 if fused is not None:
@@ -224,6 +228,41 @@ class LlamaForCausalLM:
         h, _ = fused_add_rms_norm(state[0], state[1],
                                   params["final_norm"], self.rms_eps)
         return h
+
+    def _o_mlp_norm_fused(self, layer, attn_out, residual):
+        """o-projection + post-attention residual/norm + whole MLP in
+        ONE Pallas call (decode, single-chip): a full decoder layer
+        below the attention kernel is two launches (qkv_norm + this).
+        Returns (h, new_residual) or None when not applicable (tp>1 —
+        o is row-sharded and needs the all-reduce between o and norm —
+        LoRA, bias, non-i8pair, prefill token counts, non-TPU)."""
+        o_w = layer.get("o")
+        gu, dn = layer.get("gate_up"), layer.get("down")
+        if not (self._use_fused_mlp
+                and self.ctx.tp_size == 1
+                and o_w is not None and o_w.qw is not None
+                and o_w.bias is None and o_w.lora_a is None
+                and gu is not None and dn is not None
+                and gu.qw is not None and dn.qw is not None
+                and gu.bias is None and dn.bias is None
+                and gu.lora_a is None and dn.lora_a is None
+                # Opt-in until the on-chip A/B lands (round 4); the
+                # full CPU-interpret stack is already gated green
+                # (tests/models/test_fused_decode_stack.py).
+                and os.environ.get("VLLM_TPU_FUSED_O_MLP")):
+            return None
+        from vllm_quick_tpu.ops.quant_matmul import (
+            FUSED_KERNEL_MAX_TOKENS, default_backend_is_tpu,
+            fused_o_mlp_norm, o_mlp_fusable)
+        t = 1
+        for d in attn_out.shape[:-1]:
+            t *= d
+        if not (t <= FUSED_KERNEL_MAX_TOKENS
+                and o_mlp_fusable(o_w.qw, gu.qw, dn.qw)
+                and default_backend_is_tpu()):
+            return None
+        return fused_o_mlp_norm(attn_out, residual, layer["post_norm"],
+                                o_w.qw, gu.qw, dn.qw, eps=self.rms_eps)
 
     def _mlp_block_norm_fused(self, layer, x, residual, lora_indices):
         """Post-attention residual update + norm + MLP in one Pallas

@@ -625,6 +625,195 @@ def _fused_mlp_kernel(*refs, k1p: int, tile_f: int, real_steps: int,
         o_ref[:] = y_acc[:].astype(o_ref.dtype)
 
 
+def _fused_o_mlp_kernel(refs, *, ko: int, k1p: int, tile_f: int,
+                        o_steps: int, real_steps: int, eps: float):
+    """o-projection + residual-add + RMSNorm + gate/up/silu/down in ONE
+    pallas call (decode): grid steps [0, o_steps) compute one tile_f
+    column slice of o = attn_out @ Wo into an f32 scratch; step o_steps
+    runs the residual+norm prologue over the completed o; every step
+    >= o_steps is one fused-MLP slice (same math as _fused_mlp_kernel).
+    The five weight streams run back to back through one pipeline, so a
+    whole decoder layer below the attention kernel is one launch — the
+    reference pays separate o-proj GEMM + fused_add_rms_norm +
+    gate_up GEMM + silu_and_mul + down GEMM launches per layer
+    (vllm/model_executor/models/llama.py:73-95)."""
+    (h_ref, res_ref, wn_ref, po_ref, so_ref, zo_ref,
+     pg_ref, sg_ref, zg_ref, pu_ref, su_ref, zu_ref,
+     p2_ref, s2_ref, z2_ref, o_ref, r_ref,
+     y_acc, o_acc, xn_ref) = refs
+    i = pl.program_id(0)
+    half = SUPERBLOCK // 2
+
+    def col_dot(x_ref, kdim, p_ref, s_ref, z_ref):
+        acc = jnp.zeros((x_ref.shape[0], tile_f), jnp.float32)
+        for sb in range(kdim // SUPERBLOCK):
+            p = p_ref[sb * half:(sb + 1) * half, :]
+            xlo = x_ref[:, sb * SUPERBLOCK:sb * SUPERBLOCK + half]
+            xhi = x_ref[:, sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK]
+            slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+            shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+            zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.float32)
+            zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.float32)
+            acc = acc + _sb_contribution(xlo, xhi, p, slo, shi, zlo, zhi)
+        return acc
+
+    @pl.when(i < o_steps)
+    def _o_phase():
+        col = col_dot(h_ref, ko, po_ref, so_ref, zo_ref)
+        o_acc[:, pl.dslice(i * tile_f, tile_f)] = col
+
+    @pl.when(i == o_steps)
+    def _prologue():
+        r = o_acc[:] + res_ref[:].astype(jnp.float32)
+        r_ref[:] = r.astype(r_ref.dtype)
+        var = jnp.mean(r * r, axis=1, keepdims=True)
+        xn_ref[:] = (r * jax.lax.rsqrt(var + eps)
+                     * wn_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        y_acc[:] = jnp.zeros_like(y_acc)
+
+    @pl.when(i >= o_steps)
+    def _mlp_phase():
+        gate = col_dot(xn_ref, k1p, pg_ref, sg_ref, zg_ref)
+        up = col_dot(xn_ref, k1p, pu_ref, su_ref, zu_ref)
+        hx = (jax.nn.sigmoid(gate) * gate * up).astype(jnp.bfloat16)
+        s2 = s2_ref[0].astype(jnp.float32)           # [2, D]
+        z2 = z2_ref[0].astype(jnp.float32)
+        y_acc[:] = y_acc[:] + _sb_contribution(
+            hx[:, :half], hx[:, half:], p2_ref[...],
+            s2[0:1, :], s2[1:2, :], z2[0:1, :], z2[1:2, :])
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _done():
+        o_ref[:] = y_acc[:].astype(o_ref.dtype)
+
+
+def o_mlp_fusable(qwo: QuantizedWeight, qw13: QuantizedWeight,
+                  qw2: QuantizedWeight) -> bool:
+    e = qw13.in_features
+    return (mlp_fusable(qw13, qw2) and qwo.fmt == "i8pair"
+            and qwo.perm is None and qwo.out_features == e
+            and qwo.padded_out == e and qwo.padded_in == qwo.in_features
+            and qwo.in_features % SUPERBLOCK == 0
+            and e % SUPERBLOCK == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
+                                             "interpret"))
+def _fused_o_mlp_2d(h, res, wn, qwo: QuantizedWeight,
+                    qw13: QuantizedWeight, qw2: QuantizedWeight, *,
+                    eps: float, out_dtype=jnp.bfloat16,
+                    interpret: bool = False):
+    """h: [mp, Ko] attention output (pre-o-proj); returns
+    (y [mp, dp], r = o(h) + res [mp, k1p])."""
+    mp, ko = h.shape
+    k1p = qw13.in_features
+    f = qw2.in_features
+    fp2 = qw2.padded_in
+    dp = qw2.padded_out
+    tile_f = SUPERBLOCK
+    o_steps = k1p // tile_f
+    mlp_steps = fp2 // tile_f
+    steps = o_steps + mlp_steps
+    gate_last = f // tile_f - 1
+    up_base = f // tile_f
+
+    def o_idx(i):
+        return jnp.minimum(i, o_steps - 1)
+
+    def g_idx(i):
+        return jnp.clip(i - o_steps, 0, gate_last)
+
+    def w2_idx(i):
+        return jnp.maximum(i - o_steps, 0)
+
+    whole_res = pl.BlockSpec((mp, k1p), lambda i: (0, 0))
+    in_specs = [
+        pl.BlockSpec((mp, ko), lambda i: (0, 0)),                   # h
+        whole_res,                                                  # res
+        pl.BlockSpec((1, k1p), lambda i: (0, 0)),                   # wn
+        pl.BlockSpec((ko // 2, tile_f), lambda i: (0, o_idx(i))),   # Wo
+        pl.BlockSpec((ko // EFF_GROUP, tile_f),
+                     lambda i: (0, o_idx(i))),
+        pl.BlockSpec((ko // EFF_GROUP, tile_f),
+                     lambda i: (0, o_idx(i))),
+        pl.BlockSpec((k1p // 2, tile_f), lambda i: (0, g_idx(i))),  # Wg
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, g_idx(i))),
+        pl.BlockSpec((k1p // 2, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),            # Wu
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((k1p // EFF_GROUP, tile_f),
+                     lambda i: (0, up_base + g_idx(i))),
+        pl.BlockSpec((tile_f // 2, dp), lambda i: (w2_idx(i), 0)),  # W2
+        pl.BlockSpec((1, 2, dp), lambda i: (w2_idx(i), 0, 0)),
+        pl.BlockSpec((1, 2, dp), lambda i: (w2_idx(i), 0, 0)),
+    ]
+    kernel = functools.partial(_fused_o_mlp_kernel, ko=ko, k1p=k1p,
+                               tile_f=tile_f, o_steps=o_steps,
+                               real_steps=f // tile_f, eps=eps)
+    flops = 2 * mp * (ko * k1p + k1p * 2 * f + f * dp)
+    bytes_accessed = (ko * k1p // 2 + k1p * f + fp2 * dp // 2
+                      + 2 * (ko // EFF_GROUP) * k1p * 2
+                      + 2 * (k1p // EFF_GROUP) * 2 * f * 2
+                      + 2 * (fp2 // EFF_GROUP) * dp * 2)
+    return pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((mp, dp), lambda i: (0, 0)),
+                   pl.BlockSpec((mp, k1p), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((mp, dp), out_dtype),
+                   jax.ShapeDtypeStruct((mp, k1p), out_dtype)),
+        scratch_shapes=[pltpu.VMEM((mp, dp), jnp.float32),
+                        pltpu.VMEM((mp, k1p), jnp.float32),
+                        pltpu.VMEM((mp, k1p), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=mp * f),
+        interpret=interpret,
+    )(h, res, wn, qwo.packed, qwo.scales, qwo.zeros,
+      qw13.packed, qw13.scales, qw13.zeros, qw13.packed, qw13.scales,
+      qw13.zeros, qw2.packed,
+      qw2.scales.reshape(mlp_steps, 2, dp),
+      qw2.zeros.reshape(mlp_steps, 2, dp))
+
+
+def fused_o_mlp_norm(attn_out: jax.Array, res: jax.Array,
+                     w_norm: jax.Array, qwo: QuantizedWeight,
+                     qw13: QuantizedWeight, qw2: QuantizedWeight, *,
+                     eps: float = 1e-6, out_dtype=None,
+                     interpret: Optional[bool] = None):
+    """(y, r) = (mlp(rms_norm(o(attn_out) + res, w)), o(attn_out) + res)
+    in one Pallas call — the o-projection, post-attention
+    fused_add_rms_norm and the whole MLP (decode batches). Caller
+    checks :func:`o_mlp_fusable`."""
+    out_dtype = out_dtype or attn_out.dtype
+    *lead, ko = attn_out.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if interpret is None:
+        interpret = not default_backend_is_tpu()
+    mp = max(8, _round_up(m, 8))
+    h2 = attn_out.reshape(m, ko)
+    r2 = res.reshape(m, -1)
+    k1p = r2.shape[1]
+    if mp != m:
+        h2 = jnp.pad(h2, ((0, mp - m), (0, 0)))
+        r2 = jnp.pad(r2, ((0, mp - m), (0, 0)))
+    y, r = _fused_o_mlp_2d(h2.astype(jnp.bfloat16),
+                           r2.astype(jnp.bfloat16),
+                           w_norm.astype(jnp.bfloat16).reshape(1, k1p),
+                           qwo, qw13, qw2, eps=float(eps),
+                           out_dtype=out_dtype, interpret=interpret)
+    e = qw2.out_features
+    return (y[:m, :e].reshape(*lead, e),
+            r[:m].reshape(*lead, k1p))
+
+
 def _decode_norm_kernel_i8pair(h_ref, res_ref, wn_ref, p_ref, s_ref, z_ref,
                                o_ref, r_ref, acc_ref, xn_ref, *,
                                tile_k: int, eps: float):
