@@ -71,7 +71,11 @@ def run_one(target, draft, k, num_tokens, input_len, max_model_len,
         row["spec_steps"] = steps
         row["tokens_per_step"] = round(emitted / steps, 3)
         row["acceptance"] = round((emitted / steps - 1) / k, 3)
-    del llm
+    del llm, worker, out
+    # Each k builds a fresh engine in the same process: force the old
+    # engine's device buffers dead before the next ~11 GB allocation.
+    import gc
+    gc.collect()
     return row
 
 
