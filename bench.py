@@ -185,6 +185,12 @@ def main():
         rows_i = jnp.arange(batch)
 
         def _multi(params, input_ids, positions, kv_caches, ctx0):
+            # The aliased fused rope+write+attend kernel inside a scan
+            # carry forces XLA into per-iteration cache copies (r4:
+            # multi-step compile blew past 20 min); trace the scan body
+            # with the unfused path. Env is read at trace time only.
+            os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = "1"
+
             def body(carry, _):
                 tok, p, ctx, caches = carry
                 blocks = bt_dev[rows_i, p // block_size]
@@ -196,20 +202,24 @@ def main():
                 nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
                 return (nxt, p + 1, ctx + 1, caches), nxt
 
-            if os.environ.get("BENCH_MULTI_UNROLL"):
-                # A/B: python-unrolled chain (the breakdown's repetition
-                # slope measures ~0.8 ms/step faster than lax.scan —
-                # isolate whether the loop construct itself is the cost).
-                carry = (input_ids, positions, ctx0, kv_caches)
-                toks = []
-                for _ in range(ksteps):
-                    carry, nxt = body(carry, None)
-                    toks.append(nxt)
-                return jnp.stack(toks), carry[3]
-            carry, toks = jax.lax.scan(
-                body, (input_ids, positions, ctx0, kv_caches),
-                None, length=ksteps)
-            return toks, carry[3]
+            try:
+                if os.environ.get("BENCH_MULTI_UNROLL"):
+                    # A/B: python-unrolled chain (the breakdown's
+                    # repetition slope measures ~0.8 ms/step faster
+                    # than lax.scan — isolate whether the loop
+                    # construct itself is the cost).
+                    carry = (input_ids, positions, ctx0, kv_caches)
+                    toks = []
+                    for _ in range(ksteps):
+                        carry, nxt = body(carry, None)
+                        toks.append(nxt)
+                    return jnp.stack(toks), carry[3]
+                carry, toks = jax.lax.scan(
+                    body, (input_ids, positions, ctx0, kv_caches),
+                    None, length=ksteps)
+                return toks, carry[3]
+            finally:
+                os.environ.pop("VLLM_TPU_NO_FUSED_ATTN_RW", None)
 
         multi = jax.jit(_multi, donate_argnums=(3,))
 

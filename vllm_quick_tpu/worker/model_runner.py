@@ -806,11 +806,23 @@ class ModelRunner:
                          caches, out_tok),
                         (chosen, chosen_lp, top_lp, top_ids))
 
-            carry, outs = jax.lax.scan(
-                body,
-                (ids, positions, context_lens, kv_caches,
-                 tensors.output_tokens),
-                jnp.arange(k))
+            # The aliased fused rope+write+attend kernel inside a scan
+            # carry forces per-iteration cache copies; trace the body
+            # with the unfused path (env read at trace time only).
+            import os as _os
+            _prev = _os.environ.get("VLLM_TPU_NO_FUSED_ATTN_RW")
+            _os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = "1"
+            try:
+                carry, outs = jax.lax.scan(
+                    body,
+                    (ids, positions, context_lens, kv_caches,
+                     tensors.output_tokens),
+                    jnp.arange(k))
+            finally:
+                if _prev is None:
+                    _os.environ.pop("VLLM_TPU_NO_FUSED_ATTN_RW", None)
+                else:
+                    _os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = _prev
             return outs, carry[3]
 
         fn = jax.jit(_multi, donate_argnums=(3,),
