@@ -33,6 +33,9 @@ def main(args):
               tensor_parallel_size=args.tensor_parallel_size,
               dtype=args.dtype, enforce_eager=args.enforce_eager,
               kv_cache_dtype=args.kv_cache_dtype,
+              block_size=args.block_size,
+              lm_head_dtype=args.lm_head_dtype,
+              num_decode_steps=args.num_decode_steps,
               disable_log_stats=True)
 
     sampling_params = SamplingParams(
@@ -99,6 +102,11 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="auto")
     parser.add_argument("--enforce-eager", action="store_true")
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
+    parser.add_argument("--block-size", type=int, default=16)
+    parser.add_argument("--lm-head-dtype", type=str, default="auto")
+    parser.add_argument("--num-decode-steps", type=int, default=1,
+                        help="decode tokens per device dispatch; "
+                        "amortizes the per-dispatch host round trip")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--profile-result-dir", type=str, default=None)
     main(parser.parse_args())

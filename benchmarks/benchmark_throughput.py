@@ -67,11 +67,31 @@ def main(args):
               dtype=args.dtype, max_model_len=args.max_model_len,
               enforce_eager=args.enforce_eager,
               kv_cache_dtype=args.kv_cache_dtype,
+              block_size=args.block_size,
+              lm_head_dtype=args.lm_head_dtype,
+              num_decode_steps=args.num_decode_steps,
               disable_log_stats=True)
 
     requests = sample_requests(args.dataset, args.num_prompts,
                                llm.get_tokenizer(), args.input_len,
                                args.output_len)
+
+    if args.warmup:
+        # Untimed pass over a small slice of the workload: walks the
+        # prefill/decode buckets so the timed window below measures
+        # steady-state execution, not XLA compilation (reference
+        # counterpart: CUDA-graph capture before serving,
+        # vllm/worker/model_runner.py:658-737). With the persistent
+        # compilation cache this also warms future processes.
+        n_warm = min(len(requests), max(4, args.num_prompts // 8))
+        for i, (prompt_ids, output_len) in enumerate(requests[:n_warm]):
+            llm.llm_engine.add_request(
+                f"warm-{i}", None,
+                SamplingParams(n=args.n, temperature=1.0, top_p=1.0,
+                               ignore_eos=True,
+                               max_tokens=min(output_len, 32)),
+                prompt_ids)
+        llm._drain(use_tqdm=False)
 
     for i, (prompt_ids, output_len) in enumerate(requests):
         llm.llm_engine.add_request(
@@ -112,4 +132,11 @@ if __name__ == "__main__":
     parser.add_argument("--max-model-len", type=int, default=None)
     parser.add_argument("--enforce-eager", action="store_true")
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
+    parser.add_argument("--block-size", type=int, default=16)
+    parser.add_argument("--lm-head-dtype", type=str, default="auto")
+    parser.add_argument("--num-decode-steps", type=int, default=1,
+                        help="decode tokens per device dispatch; "
+                        "amortizes the per-dispatch host round trip")
+    parser.add_argument("--warmup", action="store_true",
+                        help="run an untimed bucket-warming pass first")
     main(parser.parse_args())

@@ -142,3 +142,120 @@ def test_second_adapter_and_eviction(lora_setup):
     assert 1 in ids
     assert llm.llm_engine.remove_lora(1)
     assert 1 not in llm.llm_engine.list_loras()
+
+
+# -- embedding / lm_head / extra-vocab adapters (reference:
+# vllm/lora/layers.py:147-280,783-944, lora_extra_vocab_size) ----------
+
+EXTRA = 4
+
+
+def _make_embed_adapter(llama_dir: str, seed: int):
+    """PEFT adapter with embed_tokens + lm_head LoRA and EXTRA added
+    tokens (new_embeddings.safetensors), plus the equivalent merged
+    checkpoint with an extended vocab."""
+    from safetensors.numpy import load_file, save_file
+
+    rng = np.random.default_rng(seed)
+    weights = {}
+    for f in os.listdir(llama_dir):
+        if f.endswith(".safetensors"):
+            weights.update(load_file(os.path.join(llama_dir, f)))
+    w_e = weights["model.embed_tokens.weight"].astype(np.float32)  # [V,E]
+    w_h = weights["lm_head.weight"].astype(np.float32)             # [V,E]
+    v, e = w_e.shape
+    scaling = ALPHA / RANK
+
+    # Embedding LoRA over the EXTENDED vocab (PEFT lora_embedding_A/B
+    # layout: A [r, V+X], B [E, r]).
+    a_e = (rng.standard_normal((RANK, v + EXTRA)) * 0.05).astype(np.float32)
+    b_e = (rng.standard_normal((e, RANK)) * 0.05).astype(np.float32)
+    # lm_head LoRA (linear layout: lora_A [r, E], lora_B [V+X, r]).
+    a_h = (rng.standard_normal((RANK, e)) * 0.05).astype(np.float32)
+    b_h = (rng.standard_normal((v + EXTRA, RANK)) * 0.05).astype(np.float32)
+    # Added-token embeddings.
+    inp = (rng.standard_normal((EXTRA, e)) * 0.5).astype(np.float32)
+    out = (rng.standard_normal((EXTRA, e)) * 0.5).astype(np.float32)
+
+    adapter = {
+        "base_model.model.model.embed_tokens.lora_embedding_A": a_e,
+        "base_model.model.model.embed_tokens.lora_embedding_B": b_e,
+        "base_model.model.lm_head.lora_A.weight": a_h,
+        "base_model.model.lm_head.lora_B.weight": b_h,
+    }
+    ad = tempfile.mkdtemp(prefix=f"adapter_ev_{seed}_")
+    save_file(adapter, os.path.join(ad, "adapter_model.safetensors"))
+    save_file({"input_embeddings": inp, "output_embeddings": out},
+              os.path.join(ad, "new_embeddings.safetensors"))
+    with open(os.path.join(ad, "adapter_config.json"), "w") as f:
+        json.dump({"r": RANK, "lora_alpha": ALPHA,
+                   "target_modules": ["embed_tokens", "lm_head"],
+                   "peft_type": "LORA"}, f)
+
+    # Merged checkpoint with vocab V+EXTRA.
+    merged = dict(weights)
+    w_e_ext = np.concatenate([w_e, inp], axis=0)
+    w_e_ext = w_e_ext + scaling * (a_e.T @ b_e.T)      # [V+X, E]
+    w_h_ext = np.concatenate([w_h, out], axis=0)
+    w_h_ext = w_h_ext + scaling * (b_h @ a_h)          # [V+X, E]
+    merged["model.embed_tokens.weight"] = w_e_ext.astype(np.float32)
+    merged["lm_head.weight"] = w_h_ext.astype(np.float32)
+    md = tempfile.mkdtemp(prefix=f"merged_ev_{seed}_")
+    save_file(merged, os.path.join(md, "model.safetensors"))
+    import shutil
+    for f in ("config.json", "tokenizer.json", "tokenizer_config.json",
+              "special_tokens_map.json"):
+        src = os.path.join(llama_dir, f)
+        if os.path.exists(src):
+            shutil.copy(src, md)
+    with open(os.path.join(md, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["vocab_size"] = v + EXTRA
+    with open(os.path.join(md, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return ad, md
+
+
+def test_embedding_lm_head_lora_extra_vocab():
+    """Adapter with embed/lm_head LoRA + added tokens generates the
+    same greedy tokens as the offline-merged extended-vocab model —
+    including prompts that USE the added token ids (>= vocab_size)."""
+    from vllm_quick_tpu import LLM, SamplingParams
+    llama_dir = make_tiny_llama_dir(key="lora_embed_base")
+    ad, md = _make_embed_adapter(llama_dir, seed=7)
+    v = 512
+
+    llm = LLM(model=llama_dir, dtype="float32", max_model_len=256,
+              enable_lora=True, max_loras=2, max_lora_rank=8,
+              lora_extra_vocab_size=EXTRA, disable_log_stats=True)
+    params = SamplingParams(temperature=0.0, max_tokens=6)
+    # Prompt mixes base tokens and every added token id.
+    prompt_ids = [[5, 17, v, v + 1, 9, v + 3],
+                  [3, 4, 5, v + 2]]
+
+    req = LoRARequest("ev", 1, ad)
+    got = [o.outputs[0].token_ids
+           for o in llm.generate(prompt_token_ids=prompt_ids,
+                                 sampling_params=params,
+                                 lora_request=req)]
+
+    mllm = LLM(model=md, tokenizer=md, dtype="float32",
+               max_model_len=256, disable_log_stats=True)
+    want = [o.outputs[0].token_ids
+            for o in mllm.generate(prompt_token_ids=prompt_ids,
+                                   sampling_params=params)]
+    assert got == want
+
+    # Base-model behaviour (no adapter) is unchanged on base-vocab
+    # prompts, and extra columns never win the argmax.
+    base_ids = [[5, 17, 9, 12]]
+    base = [o.outputs[0].token_ids
+            for o in llm.generate(prompt_token_ids=base_ids,
+                                  sampling_params=params)]
+    bllm = LLM(model=llama_dir, dtype="float32", max_model_len=256,
+               disable_log_stats=True)
+    want_base = [o.outputs[0].token_ids
+                 for o in bllm.generate(prompt_token_ids=base_ids,
+                                        sampling_params=params)]
+    assert base == want_base
+    assert all(t < v for ts in base for t in ts)

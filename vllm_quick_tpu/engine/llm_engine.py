@@ -55,6 +55,11 @@ class LLMEngine:
             model_config.quantization, parallel_config.tensor_parallel_size,
             model_config.max_model_len, cache_config.cache_dtype,
             model_config.seed)
+        # Persistent XLA compilation cache: restarted servers and
+        # benchmarks replay previously-compiled buckets instead of
+        # paying multi-minute tunnel compiles (utils docstring).
+        from vllm_quick_tpu.utils import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         # Optional jax.profiler endpoint (SURVEY §5: trace/profiling):
         # point TensorBoard/xprof at this port for live device traces.
         port = os.environ.get("VLLM_TPU_PROFILER_PORT")

@@ -137,7 +137,7 @@ class GenericDecoder:
         kv_caches: List[KVCache],
         meta: InputMetadata,
     ) -> Tuple[jax.Array, List[KVCache]]:
-        h = embed(params["embed"], input_ids, self.ctx)
+        h = self._embed_tokens(params, input_ids, meta)
         if self.embed_ln:
             h = self._norm(h, params["embed_ln"])
         if self.pos_mode == "learned":
@@ -261,15 +261,42 @@ class GenericDecoder:
             out = out + layer["fc2_bias"]
         return out
 
+    def _embed_tokens(self, params: Dict[str, Any], input_ids, meta):
+        """Token embedding; applies embedding-LoRA + adapter-added
+        tokens when the manager installed stacks (reference:
+        vllm/lora/layers.py:147-280)."""
+        el = params.get("embed_lora")
+        li = getattr(meta, "lora_indices", None) if meta is not None \
+            else None
+        if el is not None and li is not None:
+            from vllm_quick_tpu.lora.layers import embed_with_lora
+            return embed_with_lora(params["embed"], input_ids, el, li,
+                                   self.ctx, self.vocab_size)
+        return embed(params["embed"], input_ids, self.ctx)
+
+    def _extend_logits(self, params: Dict[str, Any], logits, hidden,
+                       lora_indices):
+        """Append extra-vocab columns + lm_head LoRA delta when head
+        stacks exist (reference: vllm/lora/layers.py:783-944). Always
+        returns the EXTENDED static width when stacks are installed, so
+        the jitted step/sampler shapes never depend on which adapters
+        are active."""
+        hl = params.get("head_lora")
+        if hl is None:
+            return logits
+        from vllm_quick_tpu.lora.layers import logits_with_lora
+        return logits_with_lora(logits, hidden, hl, lora_indices)
+
     def compute_logits(self, params: Dict[str, Any],
-                       hidden: jax.Array) -> jax.Array:
+                       hidden: jax.Array,
+                       lora_indices=None) -> jax.Array:
         logits = unembed(hidden, params["lm_head"], self.vocab_size,
                          self.ctx, bias=None)
         if params.get("lm_head_bias") is not None:
             logits = logits + params["lm_head_bias"]
         if self.logit_scale != 1.0:
             logits = logits * self.logit_scale
-        return logits
+        return self._extend_logits(params, logits, hidden, lora_indices)
 
     # -- cache/loading -------------------------------------------------------
 

@@ -85,7 +85,7 @@ class LlamaForCausalLM:
         kv_caches: List[KVCache],
         meta: InputMetadata,
     ) -> Tuple[jax.Array, List[KVCache]]:
-        h = embed(params["embed"], input_ids, self.ctx)
+        h = self._embed_tokens(params, input_ids, meta)
         residual = None
         new_caches = []
         for i, layer in enumerate(params["layers"]):
@@ -311,9 +311,35 @@ class LlamaForCausalLM:
         x = apply_linear(layer["down"], x, lora_indices)
         return self.ctx.tp_all_reduce(x)
 
+    def _embed_tokens(self, params: Dict[str, Any], input_ids, meta):
+        """Embedding-LoRA + adapter-added tokens when stacks are
+        installed (reference: vllm/lora/layers.py:147-280)."""
+        el = params.get("embed_lora")
+        li = getattr(meta, "lora_indices", None) if meta is not None \
+            else None
+        if el is not None and li is not None:
+            from vllm_quick_tpu.lora.layers import embed_with_lora
+            return embed_with_lora(params["embed"], input_ids, el, li,
+                                   self.ctx, self.vocab_size)
+        return embed(params["embed"], input_ids, self.ctx)
+
+    def _extend_logits(self, params: Dict[str, Any], logits, hidden,
+                       lora_indices):
+        """Extra-vocab columns + lm_head LoRA delta (reference:
+        vllm/lora/layers.py:783-944); static extended width whenever
+        stacks exist."""
+        hl = params.get("head_lora")
+        if hl is None:
+            return logits
+        from vllm_quick_tpu.lora.layers import logits_with_lora
+        return logits_with_lora(logits, hidden, hl, lora_indices)
+
     def compute_logits(self, params: Dict[str, Any],
-                       hidden: jax.Array) -> jax.Array:
-        return unembed(hidden, params["lm_head"], self.vocab_size, self.ctx)
+                       hidden: jax.Array,
+                       lora_indices=None) -> jax.Array:
+        logits = unembed(hidden, params["lm_head"], self.vocab_size,
+                         self.ctx)
+        return self._extend_logits(params, logits, hidden, lora_indices)
 
     def lora_target_map(self):
         """Fused-module composition for the LoRA manager: param key ->

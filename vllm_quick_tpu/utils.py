@@ -152,6 +152,56 @@ LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
 BLOCK_TABLE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
+_COMPILE_CACHE_ENABLED = False
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at an on-disk directory.
+
+    The TPU analogue of the reference's CUDA-graph warmup persistence
+    (vllm/worker/model_runner.py:658-737 captures graphs per process;
+    we instead cache compiled XLA executables ACROSS processes): cold
+    bucket compiles through the tunnel take minutes and killed two
+    rounds of serving sweeps; with the cache a restarted server or
+    benchmark replays every previously-seen bucket in milliseconds.
+
+    Directory: $VLLM_TPU_COMPILE_CACHE (set to empty string to
+    disable), default ~/.cache/vllm_quick_tpu/xla. Verified working
+    over the axon remote-compile tunnel (round 5 probe: 2.06 s cold,
+    0.22 s warm for a 24-matmul jit).
+    """
+    global _COMPILE_CACHE_ENABLED
+    if _COMPILE_CACHE_ENABLED:
+        return
+    cache_dir = os.environ.get(
+        "VLLM_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/vllm_quick_tpu/xla"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT cache entries are machine-feature-pinned and
+            # reloading them across toolchain settings risks SIGILL
+            # (observed "+prefer-no-scatter not supported on the host"
+            # loading a cached CPU executable); the cache only pays on
+            # the tunneled TPU anyway.
+            return
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything: even sub-second entries matter when each
+        # serving bucket otherwise recompiles per process.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        _COMPILE_CACHE_ENABLED = True
+    except Exception as e:  # pragma: no cover - best effort
+        from vllm_quick_tpu.logger import init_logger
+        init_logger(__name__).warning(
+            "persistent compilation cache unavailable: %s", e)
+
+
 def call_step_with_compile_retry(fn, *args, **kwargs):
     """Invoke a jitted step, retrying transient REMOTE-COMPILE failures.
 

@@ -89,7 +89,9 @@ class ModelRunner:
                 idx = jnp.maximum(prompt_lens - 1, 0)
                 hidden = jnp.take_along_axis(
                     hidden, idx[:, None, None], axis=1)[:, 0]
-            logits = model.compute_logits(params, hidden)
+            from vllm_quick_tpu.lora.layers import row_lora_indices
+            logits = model.compute_logits(
+                params, hidden, lora_indices=row_lora_indices(meta))
             return logits, new_caches
 
         self._raw_step = _step
@@ -104,6 +106,14 @@ class ModelRunner:
             self.lora_manager = WorkerLoRAManager(
                 self.params, self.model, self.lora_config,
                 dtype=self.model_config.dtype, mesh=self.mesh)
+            if self.lora_manager.manager.embed_lora_enabled:
+                # Logits carry lora_extra_vocab_size extra columns
+                # (adapter-added tokens; reference config.py:466
+                # LoRAConfig + lora/layers.py:783); sample over the
+                # extended static width.
+                self.sampler = Sampler(
+                    self.model_config.get_vocab_size()
+                    + self.lora_manager.manager.extra_vocab)
 
         world = (self.ctx.tp_size * self.ctx.dp_size * self.ctx.ep_size
                  * self.ctx.sp_size * self.ctx.pp_size)
@@ -703,7 +713,7 @@ class ModelRunner:
             seq_data, params, _, _ = rows
             self._rng_counter += 1
             tensors, flags, _ = build_sampling_tensors(
-                seq_data, params, self.model_config.get_vocab_size(),
+                seq_data, params, self.sampler.vocab_size,
                 step_seed=self._rng_counter)
             meta = InputMetadata(
                 is_prompt=bool(payload["is_prompt"]),
@@ -846,7 +856,7 @@ class ModelRunner:
         seq_data, params, row_seq_ids, _ = rows
         self._rng_counter += 1
         tensors, flags, _ = build_sampling_tensors(
-            seq_data, params, self.model_config.get_vocab_size(),
+            seq_data, params, self.sampler.vocab_size,
             step_seed=self._rng_counter, reserve_out=k)
         sp = tensors.temperatures.shape[0]
         out_base = np.zeros(sp, np.int32)
@@ -909,7 +919,7 @@ class ModelRunner:
 
         self._rng_counter += 1
         tensors, flags, n = build_sampling_tensors(
-            seq_data, params, self.model_config.get_vocab_size(),
+            seq_data, params, self.sampler.vocab_size,
             step_seed=self._rng_counter)
         # Row alignment to the sampling bucket happens inside the
         # sampler's jit (no eager pad/slice dispatches).
