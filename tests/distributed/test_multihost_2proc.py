@@ -51,3 +51,72 @@ def test_two_process_driver_follower():
         assert p.returncode == 0, (
             f"rank {rank} failed (rc={p.returncode}):\n{out[-4000:]}")
         assert f"RANK{rank}_OK" in out, out[-4000:]
+
+
+@pytest.mark.timeout(360)
+def test_four_process_driver_followers():
+    """World=4: one driver, three followers all mirroring the same
+    payload stream (VERDICT r4 item 10 — the broadcast path exercised
+    beyond world 2). Same bit-identical KV-pool check as the 2-proc
+    test, now allgathered across 4 processes."""
+    model_dir = make_tiny_llama_dir()
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _HELPER, str(rank), str(port), model_dir,
+             "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for rank in range(4)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=330)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"rank {rank} failed (rc={p.returncode}):\n{out[-4000:]}")
+        assert f"RANK{rank}_OK" in out, out[-4000:]
+
+
+@pytest.mark.timeout(360)
+def test_follower_death_fails_fast():
+    """A follower dying mid-serving must surface as HostDeadError on
+    the driver's next broadcast within the watchdog timeout — never a
+    hang (fail-fast contract; reference AsyncEngineDeadError,
+    async_llm_engine.py:19-38)."""
+    model_dir = make_tiny_llama_dir()
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["VLLM_TPU_BROADCAST_TIMEOUT_S"] = "25"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _HELPER, str(rank), str(port), model_dir,
+             "2", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=330)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    driver, follower = procs
+    assert follower.returncode == 1, outs[1][-2000:]
+    assert "RANK1_DYING" in outs[1], outs[1][-2000:]
+    assert driver.returncode == 7, (
+        f"driver rc={driver.returncode}:\n{outs[0][-4000:]}")
+    assert "DRIVER_DETECTED_DEATH" in outs[0], outs[0][-4000:]

@@ -62,6 +62,59 @@ def _byte_bucket(n: int) -> int:
     return -(-n // _BYTE_BUCKETS[-1]) * _BYTE_BUCKETS[-1]
 
 
+class HostDeadError(RuntimeError):
+    """A peer host stopped participating in the per-step broadcast.
+
+    The fail-fast contract (SURVEY §5 failure detection; reference
+    AsyncEngineDeadError, async_llm_engine.py:19-38): a dead
+    follower/driver must surface as an engine-killing error, never a
+    silent hang. Gloo collectives block FOREVER on a dead peer (the
+    coordination service notices the heartbeat loss but the op does
+    not), so the broadcast runs under a watchdog."""
+
+
+def _bcast_with_watchdog(fn):
+    """Run a blocking collective in a daemon thread; raise
+    :class:`HostDeadError` if it has not completed within
+    $VLLM_TPU_BROADCAST_TIMEOUT_S (default 600 — first-bucket XLA
+    compiles on a peer legitimately delay its arrival by minutes)."""
+    import os
+    import threading
+
+    timeout = float(os.environ.get("VLLM_TPU_BROADCAST_TIMEOUT_S",
+                                   "600"))
+    result: list = []
+    err: list = []
+
+    def run():
+        try:
+            result.append(fn())
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise HostDeadError(
+            f"per-step broadcast did not complete within {timeout:.0f}s "
+            "— a peer host is dead or wedged (fail-fast; raise "
+            "VLLM_TPU_BROADCAST_TIMEOUT_S if peers legitimately "
+            "compile for longer)")
+    if err:
+        # A failed step broadcast is always fatal to the engine;
+        # surface peer-death signatures (gloo "Connection closed by
+        # peer", coordination-service heartbeat timeouts) as the
+        # typed error the engine's fail-fast path expects.
+        msg = str(err[0])
+        if any(s in msg for s in ("Connection closed by peer",
+                                  "heartbeat timeout", "Gloo",
+                                  "UNAVAILABLE")):
+            raise HostDeadError(msg) from err[0]
+        raise err[0]
+    return result[0]
+
+
 def broadcast_payload(payload: Optional[Any]) -> Any:
     """Broadcast an arbitrary picklable object host-0 -> all hosts.
     Followers pass ``None`` and receive the driver's object.
@@ -83,12 +136,14 @@ def broadcast_payload(payload: Optional[Any]) -> Any:
     blob = b""
     if src:
         blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
-    n = int(multihost_utils.broadcast_one_to_all(
-        np.int64(len(blob)), is_source=src))
+    n = int(_bcast_with_watchdog(lambda: multihost_utils
+                                 .broadcast_one_to_all(
+                                     np.int64(len(blob)), is_source=src)))
     buf = np.zeros(_byte_bucket(n), np.uint8)
     if src:
         buf[:n] = np.frombuffer(blob, np.uint8)
-    buf = multihost_utils.broadcast_one_to_all(buf, is_source=src)
+    buf = _bcast_with_watchdog(
+        lambda: multihost_utils.broadcast_one_to_all(buf, is_source=src))
     if src:
         return payload
     return pickle.loads(buf[:n].tobytes())
