@@ -66,6 +66,66 @@ def compute_perplexity(model, params, token_ids, max_len=2048,
     return math.exp(nll_sum / max(n_tokens, 1)), n_tokens
 
 
+def compute_perplexity_decode(model, params, token_ids, max_len=256,
+                              block_size=16, kv_dtype=None):
+    """Teacher-forced DECODE-path perplexity: one prompt token, then
+    every following token scored through the decode step (paged
+    attention over the cached history). Unlike the prefill harness
+    above, this exercises the KV-cache dtype (fp8_e5m2 store +
+    in-kernel load-convert) and the decode attention kernel — the
+    numerics the fp8-KV accuracy gate must bound (reference
+    counterpart: csrc/quantization/fp8_e5m2_kvcache/quant_utils.cuh).
+    """
+    import jax.numpy as jnp
+    from vllm_quick_tpu.model_executor.input_metadata import InputMetadata
+
+    kv_dtype = kv_dtype or jnp.bfloat16
+    ids = token_ids[:max_len]
+    l = len(ids)
+    assert l >= 2
+    nb = 1 + -(-l // block_size)
+    caches = [jnp.zeros(model.kv_cache_shape(nb, block_size), kv_dtype)
+              for _ in range(model.num_layers)]
+    bt = jnp.asarray([1 + np.arange(nb - 1, dtype=np.int32)])
+
+    # Prompt = first token only.
+    meta0 = InputMetadata(
+        is_prompt=True,
+        slot_mapping=jnp.asarray([[block_size]], jnp.int32),
+        prompt_lens=jnp.asarray([1], jnp.int32))
+    hidden, caches = model.forward(params, jnp.asarray([[ids[0]]],
+                                                       jnp.int32),
+                                   jnp.asarray([[0]], jnp.int32),
+                                   caches, meta0)
+    logp_rows = [np.asarray(_log_softmax_row(
+        model.compute_logits(params, hidden[:, -1])))]
+
+    for t in range(1, l - 1):
+        meta = InputMetadata(
+            is_prompt=False,
+            slot_mapping=jnp.asarray(
+                [(1 + t // block_size) * block_size + t % block_size],
+                jnp.int32),
+            context_lens=jnp.asarray([t + 1], jnp.int32),
+            block_tables=bt)
+        hidden, caches = model.forward(
+            params, jnp.asarray([ids[t]], jnp.int32),
+            jnp.asarray([t], jnp.int32), caches, meta)
+        logp_rows.append(np.asarray(_log_softmax_row(
+            model.compute_logits(params, hidden))))
+
+    nll = 0.0
+    for t in range(l - 1):
+        nll += float(-logp_rows[t][0, ids[t + 1]])
+    return math.exp(nll / (l - 1)), l - 1
+
+
+def _log_softmax_row(logits):
+    import jax.numpy as jnp
+    x = logits.astype(jnp.float32)
+    return x - jnp.log(jnp.sum(jnp.exp(x), axis=-1, keepdims=True))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default=None)

@@ -85,8 +85,9 @@ def main(args):
         # compilation cache this also warms future processes.
         n_warm = min(len(requests), max(4, args.num_prompts // 8))
         for i, (prompt_ids, output_len) in enumerate(requests[:n_warm]):
+            # Numeric ids: LLM._drain orders results by int(request_id).
             llm.llm_engine.add_request(
-                f"warm-{i}", None,
+                str(1_000_000 + i), None,
                 SamplingParams(n=args.n, temperature=1.0, top_p=1.0,
                                ignore_eos=True,
                                max_tokens=min(output_len, 32)),

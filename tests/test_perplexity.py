@@ -149,3 +149,54 @@ def test_w4a8_prefill_ppl_delta(tmp_path, monkeypatch):
     ppl_w4a8, _ = compute_perplexity(mq, pq, token_ids, max_len=96)
     assert abs(ppl_w4a8 - ppl_bf16) / ppl_bf16 < 0.03, (ppl_w4a8,
                                                         ppl_bf16)
+
+
+def test_knob_product_ppl_delta(tmp_path, monkeypatch):
+    """JOINT accuracy gate over the quantization knob product (VERDICT
+    r4 item 9): every perf knob the bench/serving config enables at
+    once — INT4 weights x W4A8 prefill x int8 lm_head x fp8_e5m2 KV —
+    measured TOGETHER, prefill-path ppl AND decode-path ppl, against
+    the same checkpoint with every knob off. Individual gates above
+    bound each knob; this bounds their interaction."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from benchmarks.benchmark_perplexity import compute_perplexity_decode
+    from benchmarks.make_synthetic_checkpoint import generate
+    import vllm_quick_tpu.model_executor.layers.linear as linear_mod
+    from vllm_quick_tpu.ops.quant_matmul import quant_matmul
+
+    qdir = str(tmp_path / "awq")
+    generate(qdir, preset="tiny", group_size=128)
+    rng = np.random.default_rng(5)
+    token_ids = rng.integers(3, 250, size=200).tolist()
+
+    monkeypatch.setattr(
+        linear_mod, "quant_matmul",
+        functools.partial(quant_matmul, use_kernel=True, interpret=True))
+
+    # All knobs OFF (INT4 ckpt, bf16 activations/head/KV).
+    m0, p0 = get_model(ModelConfig(model=qdir, dtype="float32"))
+    ppl_pre0, _ = compute_perplexity(m0, p0, token_ids, max_len=96)
+    ppl_dec0, _ = compute_perplexity_decode(m0, p0, token_ids,
+                                            max_len=48)
+
+    # All knobs ON.
+    monkeypatch.setenv("VLLM_TPU_W4A8", "1")
+    m1, p1 = get_model(ModelConfig(model=qdir, dtype="float32",
+                                   lm_head_dtype="int8"))
+    assert isinstance(p1["lm_head"], dict)
+    ppl_pre1, _ = compute_perplexity(m1, p1, token_ids, max_len=96)
+    ppl_dec1, _ = compute_perplexity_decode(
+        m1, p1, token_ids, max_len=48, kv_dtype=jnp.float8_e5m2)
+
+    assert abs(ppl_pre1 - ppl_pre0) / ppl_pre0 < 0.05, (ppl_pre1,
+                                                        ppl_pre0)
+    assert abs(ppl_dec1 - ppl_dec0) / ppl_dec0 < 0.05, (ppl_dec1,
+                                                        ppl_dec0)
+    # The two paths must agree with each other too (same model, same
+    # tokens; prefill window 96 vs decode window 48 differ slightly in
+    # coverage, so compare the baselines loosely).
+    assert abs(ppl_dec0 - ppl_pre0) / ppl_pre0 < 0.25, (ppl_dec0,
+                                                        ppl_pre0)
