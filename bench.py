@@ -188,11 +188,17 @@ def main():
         rows_i = jnp.arange(batch)
 
         def _multi(params, input_ids, positions, kv_caches, ctx0):
-            # The aliased fused rope+write+attend kernel inside a scan
+            # The aliased fused rope+write+attend kernel inside a SCAN
             # carry forces XLA into per-iteration cache copies (r4:
-            # multi-step compile blew past 20 min); trace the scan body
-            # with the unfused path. Env is read at trace time only.
-            os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = "1"
+            # multi-step compile blew past 20 min) — but an UNROLLED
+            # chain is a straight-line graph where each intermediate
+            # cache is consumed exactly once, so the in-place custom
+            # call aliases safely (same situation as the single-step
+            # donate path). Only the scan body traces unfused. Env is
+            # read at trace time only.
+            unroll = bool(os.environ.get("BENCH_MULTI_UNROLL"))
+            if not unroll:
+                os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = "1"
 
             def body(carry, _):
                 tok, p, ctx, caches = carry
@@ -206,11 +212,10 @@ def main():
                 return (nxt, p + 1, ctx + 1, caches), nxt
 
             try:
-                if os.environ.get("BENCH_MULTI_UNROLL"):
-                    # A/B: python-unrolled chain (the breakdown's
-                    # repetition slope measures ~0.8 ms/step faster
-                    # than lax.scan — isolate whether the loop
-                    # construct itself is the cost).
+                if unroll:
+                    # Python-unrolled chain (the breakdown's repetition
+                    # slope measures ~0.8 ms/step faster than lax.scan,
+                    # and the fused attention kernel stays enabled).
                     carry = (input_ids, positions, ctx0, kv_caches)
                     toks = []
                     for _ in range(ksteps):

@@ -116,8 +116,8 @@ def main():
         "metric": "mixtral_int4_decode_tok_s_extrapolated_32layer",
         "value": round(batch * 1000.0 / full_ms, 2),
         "unit": "tokens/s",
-        "measured_step_ms": {str(d_lo): round(ms_lo, 2),
-                             str(d_hi): round(ms_hi, 2)},
+        "measured_step_ms": {str(d): round(m, 2)
+                             for d, m in zip(depths, ms)},
         "ms_per_layer": round(per_layer, 3),
         "fixed_ms": round(fixed, 2),
         "path": "dense" if os.environ.get("MIXTRAL_DENSE") else "grouped",

@@ -816,10 +816,27 @@ class ModelRunner:
                          caches, out_tok),
                         (chosen, chosen_lp, top_lp, top_ids))
 
-            # The aliased fused rope+write+attend kernel inside a scan
-            # carry forces per-iteration cache copies; trace the body
-            # with the unfused path (env read at trace time only).
+            # Small K unrolls: a straight-line chain consumes each
+            # intermediate cache exactly once, so the in-place fused
+            # rope+write+attend custom call aliases safely and the
+            # ~0.8 ms/step lax.scan construct cost disappears (r5
+            # bench A/B). Large K falls back to scan, whose carry
+            # aliasing forces the unfused attention path (r4: fused-in-
+            # scan made XLA materialize per-iteration cache copies and
+            # the compile blew the 20-min timeout).
             import os as _os
+            unroll_max = int(_os.environ.get(
+                "VLLM_TPU_MULTI_STEP_UNROLL_MAX", "8"))
+            if k <= unroll_max:
+                carry = (ids, positions, context_lens, kv_caches,
+                         tensors.output_tokens)
+                per_step = []
+                for i in range(k):
+                    carry, out = body(carry, jnp.int32(i))
+                    per_step.append(out)
+                outs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *per_step)
+                return outs, carry[3]
             _prev = _os.environ.get("VLLM_TPU_NO_FUSED_ATTN_RW")
             _os.environ["VLLM_TPU_NO_FUSED_ATTN_RW"] = "1"
             try:

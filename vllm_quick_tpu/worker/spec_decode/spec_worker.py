@@ -246,6 +246,15 @@ class SpecDecodeWorker(Worker):
         self._steps += 1
         step_key = jax.random.fold_in(self._base_key, self._steps)
 
+        # Flag-gated phase profiler: inserts a host fetch BARRIER after
+        # each phase (drafts / score / accept), so only use to ATTRIBUTE
+        # time, never to report totals — the barriers add one tunnel
+        # round trip per phase.
+        import os as _os
+        import time as _time
+        _prof = bool(_os.environ.get("VLLM_TPU_SPEC_PROFILE"))
+        _t0 = _time.perf_counter()
+
         # 1) k chained draft steps; token ids stay on device.
         draft_ids = []
         draft_probs = []
@@ -264,6 +273,10 @@ class SpecDecodeWorker(Worker):
             draft_ids.append(tok)
             draft_probs.append(probs)
             ids_dev = tok
+
+        if _prof:
+            np.asarray(draft_ids[-1])
+            _t1 = _time.perf_counter()
 
         # 2) Target scores [last_real, d_0..d_{k-1}] in one forward
         #    over the paged context (prefix-attention path).
@@ -290,12 +303,23 @@ class SpecDecodeWorker(Worker):
             np.full(b, k + 1, np.int32))
         self.cache_engine.device_cache = caches
 
+        if _prof:
+            np.asarray(score_logits[0, 0, 0])
+            _t2 = _time.perf_counter()
+
         # 3) Accept/reject on device; ONE host fetch.
         out, n_emit, tok_lp = _accept(
             jax.random.fold_in(step_key, 10_000),
             jnp.stack(draft_probs, axis=1), jnp.stack(draft_ids, axis=1),
             score_logits, jnp.asarray(temps), jnp.asarray(greedy))
         out, n_emit, tok_lp = jax.device_get((out, n_emit, tok_lp))
+        if _prof:
+            _t3 = _time.perf_counter()
+            print(f"SPEC_PROFILE k={k} b={b} "
+                  f"draft={(_t1 - _t0) * 1e3:.1f}ms "
+                  f"score={(_t2 - _t1) * 1e3:.1f}ms "
+                  f"accept+fetch={(_t3 - _t2) * 1e3:.1f}ms",
+                  flush=True)
 
         results: SamplerOutput = []
         for row, (m, sid) in enumerate(zip(metas, sids)):
