@@ -83,14 +83,20 @@ def main(args):
         # counterpart: CUDA-graph capture before serving,
         # vllm/worker/model_runner.py:658-737). With the persistent
         # compilation cache this also warms future processes.
-        n_warm = min(len(requests), max(4, args.num_prompts // 8))
-        for i, (prompt_ids, output_len) in enumerate(requests[:n_warm]):
+        # v2: warm with the FULL prompt set at a tiny output length, so
+        # the timed window's actual buckets compile here — every prefill
+        # bucket the workload hits AND the max-concurrency decode bucket
+        # (v1 warmed only a 1/8 slice, which compiles the batch-8 bucket
+        # and leaves the batch-64 decode + large prefill compiles inside
+        # the timed window; battery r5-8 measured that as a 13x gap).
+        k = max(1, args.num_decode_steps)
+        for i, (prompt_ids, output_len) in enumerate(requests):
             # Numeric ids: LLM._drain orders results by int(request_id).
             llm.llm_engine.add_request(
                 str(1_000_000 + i), None,
                 SamplingParams(n=args.n, temperature=1.0, top_p=1.0,
                                ignore_eos=True,
-                               max_tokens=min(output_len, 32)),
+                               max_tokens=min(output_len, k + 1)),
                 prompt_ids)
         llm._drain(use_tqdm=False)
 

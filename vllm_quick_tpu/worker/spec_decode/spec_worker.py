@@ -117,6 +117,8 @@ class SpecDecodeWorker(Worker):
             self.scheduler_config, self.cache_config, ctx=self.ctx,
             mesh=self.mesh)
         self.draft_cache: Optional[CacheEngine] = None
+        self._draft_chains: Dict[int, object] = {}
+        self._score_chains: Dict[tuple, object] = {}
         self._steps = 0
         self._base_key = jax.random.PRNGKey(
             self.model_config.seed or 0)
@@ -200,16 +202,76 @@ class SpecDecodeWorker(Worker):
 
     # -- the speculative step ---------------------------------------------
 
-    def _decode_payload(self, ids, pos, slots, ctx, bt_arr):
-        return {
-            "is_prompt": np.asarray(0, np.int32),
-            "ids": ids,
-            "pos": np.asarray(pos, np.int32),
-            "prompt_lens": np.zeros(len(pos), np.int32),
-            "slot_mapping": np.asarray(slots, np.int32),
-            "context_lens": np.asarray(ctx, np.int32),
-            "block_tables": bt_arr,
-        }
+    def _get_draft_chain(self, k: int):
+        """All k draft steps + sampling in ONE jitted dispatch.
+
+        The r5 phase profile measured ~7 ms per draft step for a 1B
+        model whose device step is ~2 ms: the loop was paying per-step
+        dispatch overhead twice per step (forward + sample). The chain
+        is python-unrolled (straight-line graph, so the in-place fused
+        attention custom call aliases safely — same argument as the
+        engine's unrolled multi-step) and all slot/position math is
+        data-independent, precomputed on the host as [k, b] arrays.
+        """
+        fn = self._draft_chains.get(k)
+        if fn is not None:
+            return fn
+        raw_step = self.draft_runner._raw_step
+
+        def _chain(params, ids, pos0, slots_k, ctx0, bt, kv_caches,
+                   temps, greedy, key):
+            b = ids.shape[0]
+            zeros = jnp.zeros((b,), jnp.int32)
+            toks, probs_l = [], []
+            for i in range(k):
+                meta = InputMetadata(
+                    is_prompt=False, slot_mapping=slots_k[i],
+                    context_lens=ctx0 + i, block_tables=bt)
+                logits, kv_caches = raw_step(params, ids, pos0 + i,
+                                             kv_caches, meta, zeros)
+                tok, probs = _draft_sample(
+                    logits, temps, greedy, jax.random.fold_in(key, i))
+                toks.append(tok)
+                probs_l.append(probs)
+                ids = tok
+            return (jnp.stack(toks, axis=1),
+                    jnp.stack(probs_l, axis=1), kv_caches)
+
+        fn = jax.jit(_chain, donate_argnums=(6,))
+        self._draft_chains[k] = fn
+        return fn
+
+    def _get_score_chain(self, k: int, b: int):
+        """Decode-kernel scorer: the [b, k+1] score window flattened to
+        b*(k+1) single-token decode rows, each with its own context
+        length (lens+j), so row j attends exactly the positions < its
+        own — identical causal semantics to the prefix-prefill scorer
+        but riding the paged-decode attention kernel and the m<=64
+        streaming quant-matmul path (r5 profile: the prefill-path score
+        was ~38 ms vs ~6.3 ms for a decode-shaped step; all rows' KV
+        writes in a layer complete before that layer's attention reads,
+        so intra-window attention is exact)."""
+        key = (k, b)
+        fn = self._score_chains.get(key)
+        if fn is not None:
+            return fn
+        raw_step = self.model_runner._raw_step
+        kp1 = k + 1
+
+        def _score(params, ids_flat, pos_flat, slots_flat, ctx_flat,
+                   bt_rep, kv_caches):
+            rows = ids_flat.shape[0]
+            zeros = jnp.zeros((rows,), jnp.int32)
+            meta = InputMetadata(
+                is_prompt=False, slot_mapping=slots_flat,
+                context_lens=ctx_flat, block_tables=bt_rep)
+            logits, kv_caches = raw_step(params, ids_flat, pos_flat,
+                                         kv_caches, meta, zeros)
+            return logits.reshape(b, kp1, -1), kv_caches
+
+        fn = jax.jit(_score, donate_argnums=(6,))
+        self._score_chains[key] = fn
+        return fn
 
     def _spec_decode(self, metas: List[SequenceGroupMetadata]
                      ) -> SamplerOutput:
@@ -255,52 +317,59 @@ class SpecDecodeWorker(Worker):
         _prof = bool(_os.environ.get("VLLM_TPU_SPEC_PROFILE"))
         _t0 = _time.perf_counter()
 
-        # 1) k chained draft steps; token ids stay on device.
-        draft_ids = []
-        draft_probs = []
-        ids_dev = last_ids
-        for i in range(k):
-            pos = lens - 1 + i
-            slots = [slot_of(r, int(pos[r])) for r in range(b)]
-            payload = self._decode_payload(
-                ids_dev, pos, slots, lens + i, bt_arr)
-            logits, dcaches, _ = self.draft_runner.run_prepared(
-                payload, self.draft_cache.device_cache)
-            self.draft_cache.device_cache = dcaches
-            tok, probs = _draft_sample(
-                logits[:b], jnp.asarray(temps), jnp.asarray(greedy),
-                jax.random.fold_in(step_key, i))
-            draft_ids.append(tok)
-            draft_probs.append(probs)
-            ids_dev = tok
+        # 1) All k draft steps + sampling in one dispatch; token ids
+        #    chain on device inside the jit.
+        slots_k = np.asarray(
+            [[slot_of(r, int(lens[r] - 1 + i)) for r in range(b)]
+             for i in range(k)], np.int32)
+        chain = self._get_draft_chain(k)
+        draft_ids_m, draft_probs_m, dcaches = chain(
+            self.draft_runner.params, jnp.asarray(last_ids),
+            jnp.asarray((lens - 1).astype(np.int32)), slots_k,
+            jnp.asarray(lens.astype(np.int32)), jnp.asarray(bt_arr),
+            self.draft_cache.device_cache, jnp.asarray(temps),
+            jnp.asarray(greedy), step_key)
+        self.draft_cache.device_cache = dcaches
 
         if _prof:
-            np.asarray(draft_ids[-1])
+            np.asarray(draft_ids_m[:, -1])
             _t1 = _time.perf_counter()
 
-        # 2) Target scores [last_real, d_0..d_{k-1}] in one forward
-        #    over the paged context (prefix-attention path).
+        # 2) Target scores [last_real, d_0..d_{k-1}] in one forward.
         ids_score = jnp.concatenate(
-            [jnp.asarray(last_ids)[:, None],
-             jnp.stack(draft_ids, axis=1)], axis=1)          # [B, k+1]
+            [jnp.asarray(last_ids)[:, None], draft_ids_m],
+            axis=1)                                          # [B, k+1]
         pos_score = (lens - 1)[:, None] + np.arange(k + 1)[None, :]
         flat_slots = np.asarray(
             [slot_of(r, int(p)) for r in range(b) for p in pos_score[r]],
             np.int32)
-        meta = InputMetadata(
-            is_prompt=True,
-            slot_mapping=flat_slots,                 # 1-D: per-token path
-            prompt_lens=np.asarray(
-                [k + 1] * n_real + [0] * (b - n_real), np.int32),
-            context_lens=np.asarray(lens - 1, np.int32),
-            block_tables=bt_arr,
-        )
-        score = self.model_runner.get_score_step()
-        score_logits, caches = score(
-            self.model_runner.params, ids_score,
-            jnp.asarray(pos_score.astype(np.int32)),
-            self.cache_engine.device_cache, meta,
-            np.full(b, k + 1, np.int32))
+        if _os.environ.get("VLLM_TPU_SPEC_SCORE", "decode") == "prefill":
+            # A/B fallback: short prefix-attention prefill over the
+            # paged context (the r4 scorer).
+            meta = InputMetadata(
+                is_prompt=True,
+                slot_mapping=flat_slots,             # 1-D: per-token path
+                prompt_lens=np.asarray(
+                    [k + 1] * n_real + [0] * (b - n_real), np.int32),
+                context_lens=np.asarray(lens - 1, np.int32),
+                block_tables=bt_arr,
+            )
+            score = self.model_runner.get_score_step()
+            score_logits, caches = score(
+                self.model_runner.params, ids_score,
+                jnp.asarray(pos_score.astype(np.int32)),
+                self.cache_engine.device_cache, meta,
+                np.full(b, k + 1, np.int32))
+        else:
+            score = self._get_score_chain(k, b)
+            bt_rep = np.repeat(bt_arr, k + 1, axis=0)
+            ctx_flat = (lens[:, None] + np.arange(k + 1)[None, :]) \
+                .reshape(-1).astype(np.int32)
+            score_logits, caches = score(
+                self.model_runner.params, ids_score.reshape(-1),
+                jnp.asarray(pos_score.reshape(-1).astype(np.int32)),
+                flat_slots, jnp.asarray(ctx_flat), jnp.asarray(bt_rep),
+                self.cache_engine.device_cache)
         self.cache_engine.device_cache = caches
 
         if _prof:
@@ -310,7 +379,7 @@ class SpecDecodeWorker(Worker):
         # 3) Accept/reject on device; ONE host fetch.
         out, n_emit, tok_lp = _accept(
             jax.random.fold_in(step_key, 10_000),
-            jnp.stack(draft_probs, axis=1), jnp.stack(draft_ids, axis=1),
+            draft_probs_m, draft_ids_m,
             score_logits, jnp.asarray(temps), jnp.asarray(greedy))
         out, n_emit, tok_lp = jax.device_get((out, n_emit, tok_lp))
         if _prof:
