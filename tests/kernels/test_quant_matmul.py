@@ -114,6 +114,30 @@ def test_prefill_kernel_matches_reference(rng, m, k, n, fmt):
         rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("m,k,n", [(300, 1024, 512), (1024, 1024, 256)])
+def test_prefill_minner_matches_reference(rng, m, k, n, monkeypatch):
+    """The M-innermost grid (dequant once per weight tile, accumulator
+    scratch spanning all M rows) — forced into multiple M tiles with a
+    small tile_m so the reuse-across-m path is exercised, including the
+    ragged-M padded tail."""
+    monkeypatch.setenv("VLLM_TPU_QMM_TM", "128")
+    w, qw = _make_qw(rng, k, n, fmt="i8pair")
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    ref = qf.quant_matmul_ref(x, qw)
+    out = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2, atol=2e-2)
+    # A/B sanity: the m-outer fallback computes the same thing.
+    monkeypatch.setenv("VLLM_TPU_PREFILL_MOUTER", "1")
+    out2 = quant_matmul(x, qw, use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out2, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("m,k,n", PREFILL_SHAPES)
 def test_w4a8_prefill_matches_reference(rng, m, k, n, monkeypatch):
     """The int8-activation prefill kernel: integer dots are exact, so

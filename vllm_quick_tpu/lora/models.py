@@ -349,6 +349,12 @@ class LoRAModelManager:
                     lw.lora_a = lw.lora_a.at[slot].set(0)
                     lw.lora_b = lw.lora_b.at[slot].set(0)
         self._write_embed_head(slot, lm)
+        # The bump must live HERE, not inside _write_embed_head: that
+        # helper returns early when embed-LoRA is disabled (always the
+        # case under pp/sp), and the pp runner re-stacks its per-stage
+        # LoRA tree only when this version moves (regression: r5 probe
+        # showed pp silently serving base weights for adapter requests).
+        self.version += 1
 
     def _clear_embed_head(self, slot: int) -> None:
         if not self.embed_lora_enabled:
@@ -398,4 +404,3 @@ class LoRAModelManager:
             hl["extra"] = hl["extra"].at[slot, :out.shape[0]].set(
                 jnp.asarray(out, self.dtype))
             hl["count"] = hl["count"].at[slot].set(out.shape[0])
-        self.version += 1

@@ -280,17 +280,40 @@ def _choose_tiles_prefill(kp: int, np_: int, tile_m: int) -> tuple:
     return best[2], best[3]
 
 
+def _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb: int):
+    """Dequantize superblock ``sb`` of the packed tile into the bf16
+    scratch. w = (q - z) * s; q - z is exact in bf16 (both in 0..15).
+    With the i8 variant the hi plane is 16*q - 128, so
+    w = (plane + 16*(8 - z)) * (s / 16)."""
+    half = SUPERBLOCK // 2
+    p = p_ref[sb * half:(sb + 1) * half, :]
+    lo, hi, hi_x16 = _sb_nibble_planes(p)
+    slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
+    shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
+    zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
+    zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
+    w_ref[sb * SUPERBLOCK:sb * SUPERBLOCK + half, :] = (lo - zlo) * slo
+    if hi_x16:
+        w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
+            (hi + (8.0 - zhi) * 16.0) * (shi * 0.0625))
+    else:
+        w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
+            (hi - zhi) * shi)
+
+
 def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
                            w_ref, *, tile_k: int):
     """Prefill (MXU-bound) kernel: dequantize the packed tile ONCE into
-    a bf16 VMEM scratch, then one deep MXU dot per k-tile.
+    a bf16 VMEM scratch, interleaving per-superblock dequant with
+    256-deep MXU dots so Mosaic can overlap the VPU dequant of
+    superblock i+1 with the MXU dot of superblock i (the r4 one-deep-dot
+    variant serialized ~6 ms of VPU behind 34 ms of MXU at ctx512).
 
     The decode kernel's group-correction trick is wrong for this regime:
     its corrective VPU math scales O(M*N*K/128) and its dots are only
     128 deep, so at M >= 256 the VPU work and dot fill/drain dominate
     (measured 18-60% MXU on chip). Dequant-to-scratch costs O(K*N) VPU
-    per M tile and feeds the MXU one tile_k-deep dot instead of
-    2*(tile_k/256) shallow ones."""
+    per M tile."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -298,26 +321,21 @@ def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     n_sb = tile_k // SUPERBLOCK
-    half = SUPERBLOCK // 2
-    for sb in range(n_sb):
-        p = p_ref[sb * half:(sb + 1) * half, :]
-        lo, hi, hi_x16 = _sb_nibble_planes(p)
-        slo = s_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
-        shi = s_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
-        zlo = z_ref[2 * sb:2 * sb + 1, :].astype(jnp.bfloat16)
-        zhi = z_ref[2 * sb + 1:2 * sb + 2, :].astype(jnp.bfloat16)
-        # w = (q - z) * s. q - z is exact in bf16 (both in 0..15). With
-        # the i8 variant the hi plane is 16*q - 128, so
-        # w = (plane + 16*(8 - z)) * (s / 16).
-        w_ref[sb * SUPERBLOCK:sb * SUPERBLOCK + half, :] = (lo - zlo) * slo
-        if hi_x16:
-            w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
-                (hi + (8.0 - zhi) * 16.0) * (shi * 0.0625))
-        else:
-            w_ref[sb * SUPERBLOCK + half:(sb + 1) * SUPERBLOCK, :] = (
-                (hi - zhi) * shi)
-    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
-                          preferred_element_type=jnp.float32)
+    if os.environ.get("VLLM_TPU_PREFILL_ONEDOT"):
+        # A/B fallback: dequantize the whole k-tile, then one deep dot.
+        for sb in range(n_sb):
+            _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.float32)
+    else:
+        acc = acc_ref[:]
+        for sb in range(n_sb):
+            _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
+            acc = acc + jnp.dot(
+                x_ref[:, sb * SUPERBLOCK:(sb + 1) * SUPERBLOCK],
+                w_ref[sb * SUPERBLOCK:(sb + 1) * SUPERBLOCK, :],
+                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _done():
@@ -432,6 +450,98 @@ def _fused_quant_matmul_3d_w4a8(xi: jax.Array, sx: jax.Array,
         interpret=interpret,
         **kwargs,
     )(xi, sx, packed, scales, zeros)
+
+
+def _prefill_kernel_i8pair_minner(x_ref, p_ref, s_ref, z_ref, o_ref,
+                                  acc_ref, w_ref, *, tile_k: int,
+                                  tile_m: int):
+    """M-innermost prefill kernel: grid (N tiles, K tiles, M tiles).
+
+    With M innermost, the packed tile and its dequantized scratch are
+    REUSED across every M tile — total dequant VPU work is O(K*N) for
+    the whole GEMM instead of O(K*N * m_tiles) (the r4 kernel's grid
+    had M outermost: ctx-2048 prefill paid the full-matrix dequant 4x,
+    the measured cause of its 18% per-token degradation vs ctx-512).
+    The accumulator scratch spans ALL M rows of the current N tile
+    ([mp, tile_n] f32) because consecutive k steps for one m tile are
+    separated by a whole m sweep."""
+    k_idx = pl.program_id(1)
+    m_idx = pl.program_id(2)
+
+    n_sb = tile_k // SUPERBLOCK
+
+    @pl.when(m_idx == 0)
+    def _dequant():
+        for sb in range(n_sb):
+            _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
+
+    rows = pl.ds(m_idx * tile_m, tile_m)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[rows, :] = jnp.zeros((tile_m, acc_ref.shape[1]),
+                                     jnp.float32)
+
+    acc_ref[rows, :] += jnp.dot(x_ref[:], w_ref[:],
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _done():
+        o_ref[:] = acc_ref[rows, :].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "tile_m"))
+def _fused_quant_matmul_3d_minner(x: jax.Array, packed: jax.Array,
+                                  scales: jax.Array, zeros: jax.Array, *,
+                                  tile_m: int, out_dtype=jnp.bfloat16,
+                                  interpret: bool = False) -> jax.Array:
+    """M-innermost variant of :func:`_fused_quant_matmul_3d` (i8pair
+    only). Used when m_tiles > 1 so the dequant scratch is built once
+    per (n, k) weight tile instead of once per M tile. The x tile is
+    re-streamed n_tiles times (O(M*K) bytes per N tile — trivial next
+    to the packed weight read)."""
+    mp, kp = x.shape
+    np_ = packed.shape[-1]
+    tile_k, tile_n = _choose_tiles_prefill(kp, np_, tile_m)
+    # Accumulator scratch covers all M rows of one N tile; cap its
+    # VMEM footprint by narrowing tile_n if needed.
+    acc_budget = int(os.environ.get("VLLM_TPU_QMM_ACCBUDGET",
+                                    4 * 1024 * 1024))
+    while tile_n > 128 and mp * tile_n * 4 > acc_budget:
+        tile_n //= 2
+    grid = (np_ // tile_n, kp // tile_k, mp // tile_m)
+    kernel = functools.partial(_prefill_kernel_i8pair_minner,
+                               tile_k=tile_k, tile_m=tile_m)
+    m_tiles, n_tiles = grid[2], grid[0]
+    flops = 2 * mp * kp * np_
+    bytes_accessed = (kp * np_ // 2 + 2 * (kp // EFF_GROUP) * np_ * 2
+                      + n_tiles * mp * kp * 2 + mp * np_ * 2)
+    kwargs = {}
+    if not interpret and not os.environ.get("VLLM_TPU_QMM_3D_NODIMSEM"):
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda j, k, i: (i, k)),
+            pl.BlockSpec((tile_k // 2, tile_n), lambda j, k, i: (k, j)),
+            pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                         lambda j, k, i: (k, j)),
+            pl.BlockSpec((tile_k // EFF_GROUP, tile_n),
+                         lambda j, k, i: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, k, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mp, tile_n), jnp.float32),
+                        pltpu.VMEM((tile_k, tile_n), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+        **kwargs,
+    )(x, packed, scales, zeros)
 
 
 def _prefill_kernel_u4(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
@@ -1176,6 +1286,14 @@ def quant_matmul(
                                             qw.zeros, tile_m=tile_m,
                                             out_dtype=out_dtype,
                                             interpret=interpret)
+        elif (qw.fmt == "i8pair" and mp // tile_m > 1
+              and not os.environ.get("VLLM_TPU_PREFILL_MOUTER")):
+            # Multiple M tiles: M-innermost grid dequantizes each weight
+            # tile once total instead of once per M tile (the r4 cause
+            # of ctx-2048's 18% per-token degradation).
+            y = _fused_quant_matmul_3d_minner(
+                x2.astype(jnp.bfloat16), qw.packed, qw.scales, qw.zeros,
+                tile_m=tile_m, out_dtype=out_dtype, interpret=interpret)
         else:
             y = _fused_quant_matmul_3d(x2.astype(jnp.bfloat16), qw.packed,
                                        qw.scales, qw.zeros, tile_m=tile_m,

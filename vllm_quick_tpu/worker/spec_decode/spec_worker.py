@@ -317,19 +317,56 @@ class SpecDecodeWorker(Worker):
         _prof = bool(_os.environ.get("VLLM_TPU_SPEC_PROFILE"))
         _t0 = _time.perf_counter()
 
-        # 1) All k draft steps + sampling in one dispatch; token ids
-        #    chain on device inside the jit.
-        slots_k = np.asarray(
-            [[slot_of(r, int(lens[r] - 1 + i)) for r in range(b)]
-             for i in range(k)], np.int32)
-        chain = self._get_draft_chain(k)
-        draft_ids_m, draft_probs_m, dcaches = chain(
-            self.draft_runner.params, jnp.asarray(last_ids),
-            jnp.asarray((lens - 1).astype(np.int32)), slots_k,
-            jnp.asarray(lens.astype(np.int32)), jnp.asarray(bt_arr),
-            self.draft_cache.device_cache, jnp.asarray(temps),
-            jnp.asarray(greedy), step_key)
-        self.draft_cache.device_cache = dcaches
+        # The fused one-dispatch draft chain and the decode-kernel
+        # scorer trace the runners' RAW (single-device) step; under
+        # pp/sp/tp/dp meshes the runners execute sharded/microbatched
+        # programs instead, so those paths fall back to per-step
+        # run_prepared drafting + the pp-aware prefill scorer.
+        single_device = (self.ctx.pp_size * self.ctx.sp_size
+                         * self.ctx.tp_size * self.ctx.dp_size
+                         * self.ctx.ep_size) == 1
+
+        # 1) k draft steps; token ids chain on device either way.
+        if single_device:
+            # All k forward+sample steps in ONE dispatch.
+            slots_k = np.asarray(
+                [[slot_of(r, int(lens[r] - 1 + i)) for r in range(b)]
+                 for i in range(k)], np.int32)
+            chain = self._get_draft_chain(k)
+            draft_ids_m, draft_probs_m, dcaches = chain(
+                self.draft_runner.params, jnp.asarray(last_ids),
+                jnp.asarray((lens - 1).astype(np.int32)), slots_k,
+                jnp.asarray(lens.astype(np.int32)), jnp.asarray(bt_arr),
+                self.draft_cache.device_cache, jnp.asarray(temps),
+                jnp.asarray(greedy), step_key)
+            self.draft_cache.device_cache = dcaches
+        else:
+            draft_ids = []
+            draft_probs = []
+            ids_dev = last_ids
+            for i in range(k):
+                pos = lens - 1 + i
+                slots = [slot_of(r, int(pos[r])) for r in range(b)]
+                payload = {
+                    "is_prompt": np.asarray(0, np.int32),
+                    "ids": ids_dev,
+                    "pos": np.asarray(pos, np.int32),
+                    "prompt_lens": np.zeros(b, np.int32),
+                    "slot_mapping": np.asarray(slots, np.int32),
+                    "context_lens": np.asarray(lens + i, np.int32),
+                    "block_tables": bt_arr,
+                }
+                logits, dcaches, _ = self.draft_runner.run_prepared(
+                    payload, self.draft_cache.device_cache)
+                self.draft_cache.device_cache = dcaches
+                tok, probs = _draft_sample(
+                    logits[:b], jnp.asarray(temps), jnp.asarray(greedy),
+                    jax.random.fold_in(step_key, i))
+                draft_ids.append(tok)
+                draft_probs.append(probs)
+                ids_dev = tok
+            draft_ids_m = jnp.stack(draft_ids, axis=1)
+            draft_probs_m = jnp.stack(draft_probs, axis=1)
 
         if _prof:
             np.asarray(draft_ids_m[:, -1])
@@ -343,7 +380,8 @@ class SpecDecodeWorker(Worker):
         flat_slots = np.asarray(
             [slot_of(r, int(p)) for r in range(b) for p in pos_score[r]],
             np.int32)
-        if _os.environ.get("VLLM_TPU_SPEC_SCORE", "decode") == "prefill":
+        if (not single_device or _os.environ.get(
+                "VLLM_TPU_SPEC_SCORE", "decode") == "prefill"):
             # A/B fallback: short prefix-attention prefill over the
             # paged context (the r4 scorer).
             meta = InputMetadata(
