@@ -73,46 +73,77 @@ class HostDeadError(RuntimeError):
     not), so the broadcast runs under a watchdog."""
 
 
-def _bcast_with_watchdog(fn):
-    """Run a blocking collective in a daemon thread; raise
-    :class:`HostDeadError` if it has not completed within
-    $VLLM_TPU_BROADCAST_TIMEOUT_S (default 600 — first-bucket XLA
-    compiles on a peer legitimately delay its arrival by minutes)."""
-    import os
+# Deadline monitor state: [deadline_epoch_s or None]. One daemon
+# thread per process wakes every 2 s and hard-exits (os._exit) if a
+# broadcast has been blocked past its deadline — the backstop for the
+# (rare) case where gloo neither errors nor returns. The collective
+# itself MUST run on the caller thread: issuing collectives from a
+# helper thread while jitted-step collectives dispatch from the main
+# thread desyncs gloo's transfer matching ("op.preamble.length <=
+# op.nbytes. 2048 vs 4" — the r5 regression from the first watchdog,
+# reproduced with both per-call threads and a dedicated executor).
+_MON_STATE: list = [None]
+_MON_THREAD = None
+_HANG_EXIT_CODE = 70
+
+
+def _ensure_monitor():
+    global _MON_THREAD
+    if _MON_THREAD is not None:
+        return
     import threading
+    import time as _time
+
+    def run():
+        import os as _osm
+        while True:
+            _time.sleep(2.0)
+            dl = _MON_STATE[0]
+            if dl is not None and _time.monotonic() > dl:
+                logger.critical(
+                    "per-step broadcast blocked past its deadline — a "
+                    "peer host is dead or wedged; exiting (fail-fast)")
+                _osm._exit(_HANG_EXIT_CODE)
+
+    _MON_THREAD = threading.Thread(target=run, daemon=True,
+                                   name="bcast-hang-monitor")
+    _MON_THREAD.start()
+
+
+def _bcast_with_watchdog(fn):
+    """Run a blocking collective on the CALLER thread under a deadline
+    monitor. Peer-death almost always surfaces as a gloo/coordination
+    error on the blocked call ("Connection closed/reset by peer",
+    heartbeat timeout) and is re-raised as :class:`HostDeadError`; if
+    the call truly hangs past $VLLM_TPU_BROADCAST_TIMEOUT_S (default
+    600 — first-bucket XLA compiles on a peer legitimately delay its
+    arrival by minutes), the monitor thread hard-exits the process
+    (fail-fast: a wedged driver must die, not hang the cluster)."""
+    import os
+    import time as _time
 
     timeout = float(os.environ.get("VLLM_TPU_BROADCAST_TIMEOUT_S",
                                    "600"))
-    result: list = []
-    err: list = []
-
-    def run():
-        try:
-            result.append(fn())
-        except BaseException as e:  # noqa: BLE001 - re-raised below
-            err.append(e)
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout)
-    if t.is_alive():
-        raise HostDeadError(
-            f"per-step broadcast did not complete within {timeout:.0f}s "
-            "— a peer host is dead or wedged (fail-fast; raise "
-            "VLLM_TPU_BROADCAST_TIMEOUT_S if peers legitimately "
-            "compile for longer)")
-    if err:
+    _ensure_monitor()
+    _MON_STATE[0] = _time.monotonic() + timeout
+    try:
+        return fn()
+    except HostDeadError:
+        raise
+    except BaseException as e:  # noqa: BLE001 - classified below
         # A failed step broadcast is always fatal to the engine;
         # surface peer-death signatures (gloo "Connection closed by
         # peer", coordination-service heartbeat timeouts) as the
         # typed error the engine's fail-fast path expects.
-        msg = str(err[0])
+        msg = str(e)
         if any(s in msg for s in ("Connection closed by peer",
-                                  "heartbeat timeout", "Gloo",
+                                  "Connection reset by peer",
+                                  "heartbeat timeout", "Gloo", "gloo",
                                   "UNAVAILABLE")):
-            raise HostDeadError(msg) from err[0]
-        raise err[0]
-    return result[0]
+            raise HostDeadError(msg) from e
+        raise
+    finally:
+        _MON_STATE[0] = None
 
 
 def broadcast_payload(payload: Optional[Any]) -> Any:
@@ -142,8 +173,15 @@ def broadcast_payload(payload: Optional[Any]) -> Any:
     buf = np.zeros(_byte_bucket(n), np.uint8)
     if src:
         buf[:n] = np.frombuffer(blob, np.uint8)
+    # block_until_ready INSIDE the watchdog call: the source side
+    # otherwise discards the result, leaving the collective in flight
+    # when the caller dispatches the next jitted step from another
+    # thread — two uncompleted collective programs racing into the
+    # backend out of order is the r5 "op.preamble.length 2048 vs 4"
+    # gloo desync.
     buf = _bcast_with_watchdog(
-        lambda: multihost_utils.broadcast_one_to_all(buf, is_source=src))
+        lambda: jax.block_until_ready(
+            multihost_utils.broadcast_one_to_all(buf, is_source=src)))
     if src:
         return payload
     return pickle.loads(buf[:n].tobytes())
