@@ -321,21 +321,24 @@ def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     n_sb = tile_k // SUPERBLOCK
-    if os.environ.get("VLLM_TPU_PREFILL_ONEDOT"):
-        # A/B fallback: dequantize the whole k-tile, then one deep dot.
-        for sb in range(n_sb):
+    # Chunked interleave: dequantize CH superblocks, then one
+    # CH*256-deep dot, repeated — exposes VPU-dequant / MXU-dot overlap
+    # to Mosaic's scheduler at a bounded unroll (the per-superblock
+    # variant, CH=1 over 16 superblocks, blew a 20-minute compile).
+    # CH = n_sb degenerates to dequant-whole-tile + one deep dot.
+    ch = int(os.environ.get("VLLM_TPU_PREFILL_CHUNK_SB", str(n_sb)))
+    ch = max(1, min(ch, n_sb))
+    while n_sb % ch:
+        ch -= 1
+    acc = acc_ref[:]
+    for c0 in range(0, n_sb, ch):
+        for sb in range(c0, c0 + ch):
             _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
-        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
-                              preferred_element_type=jnp.float32)
-    else:
-        acc = acc_ref[:]
-        for sb in range(n_sb):
-            _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
-            acc = acc + jnp.dot(
-                x_ref[:, sb * SUPERBLOCK:(sb + 1) * SUPERBLOCK],
-                w_ref[sb * SUPERBLOCK:(sb + 1) * SUPERBLOCK, :],
-                preferred_element_type=jnp.float32)
-        acc_ref[:] = acc
+        acc = acc + jnp.dot(
+            x_ref[:, c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK],
+            w_ref[c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK, :],
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _done():
