@@ -321,24 +321,32 @@ def _prefill_kernel_i8pair(x_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     n_sb = tile_k // SUPERBLOCK
-    # Chunked interleave: dequantize CH superblocks, then one
+    # Optional chunked interleave: dequantize CH superblocks, then one
     # CH*256-deep dot, repeated — exposes VPU-dequant / MXU-dot overlap
-    # to Mosaic's scheduler at a bounded unroll (the per-superblock
-    # variant, CH=1 over 16 superblocks, blew a 20-minute compile).
-    # CH = n_sb degenerates to dequant-whole-tile + one deep dot.
-    ch = int(os.environ.get("VLLM_TPU_PREFILL_CHUNK_SB", str(n_sb)))
-    ch = max(1, min(ch, n_sb))
-    while n_sb % ch:
-        ch -= 1
-    acc = acc_ref[:]
-    for c0 in range(0, n_sb, ch):
-        for sb in range(c0, c0 + ch):
+    # to Mosaic's scheduler at a bounded unroll. OFF by default: the
+    # per-superblock variant (CH=1 over 16 superblocks) blew a
+    # 20-minute Mosaic compile, and even the value-carried accumulate
+    # restructure alone compiled pathologically; the default below is
+    # byte-for-byte the r4 formulation (whole-tile dequant, one deep
+    # dot, in-place accumulate).
+    ch = int(os.environ.get("VLLM_TPU_PREFILL_CHUNK_SB", "0"))
+    if 0 < ch < n_sb:
+        while n_sb % ch:
+            ch -= 1
+        acc = acc_ref[:]
+        for c0 in range(0, n_sb, ch):
+            for sb in range(c0, c0 + ch):
+                _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
+            acc = acc + jnp.dot(
+                x_ref[:, c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK],
+                w_ref[c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK, :],
+                preferred_element_type=jnp.float32)
+        acc_ref[:] = acc
+    else:
+        for sb in range(n_sb):
             _dequant_sb_to_scratch(p_ref, s_ref, z_ref, w_ref, sb)
-        acc = acc + jnp.dot(
-            x_ref[:, c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK],
-            w_ref[c0 * SUPERBLOCK:(c0 + ch) * SUPERBLOCK, :],
-            preferred_element_type=jnp.float32)
-    acc_ref[:] = acc
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
     def _done():
