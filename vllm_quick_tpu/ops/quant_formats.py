@@ -78,6 +78,14 @@ class QuantizedWeight:
     # SqueezeLLM non-uniform codebook: [N, 16] per-output-channel float
     # levels (fmt='sqllm'); scales/zeros are unused placeholders then.
     lut: Optional[jax.Array] = None
+    # Superblock-major views of scales/zeros ([Kp//SUPERBLOCK, 2, Np]),
+    # precomputed at PACK time for i8pair: the fused-MLP kernel needs
+    # its W2 scale pairs as one trailing block per grid step, and an
+    # in-jit reshape of the tiled [Kp//128, Np] array physically
+    # relayouts it EVERY STEP (r5 device trace: 0.125 ms/step of
+    # reshapes + 0.08 ms of copies across 32 layers).
+    scales_sb: Optional[jax.Array] = None
+    zeros_sb: Optional[jax.Array] = None
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -305,8 +313,18 @@ def build_quantized_weight(q: np.ndarray, zeros: np.ndarray,
                          ((0, kp // EFF_GROUP - zeros_n.shape[0]),
                           (0, np_ - n)))
 
+    sb_kwargs = {}
     if fmt == "i8pair":
         packed = jnp.asarray(pack_i8pair(q))
+        # Host-side reshape: free here, a per-step relayout if left to
+        # the jitted kernel call (see QuantizedWeight.scales_sb).
+        sb_kwargs = dict(
+            scales_sb=jnp.asarray(
+                scales_n.reshape(kp // SUPERBLOCK, 2, np_),
+                dtype=jnp.bfloat16),
+            zeros_sb=jnp.asarray(
+                zeros_n.reshape(kp // SUPERBLOCK, 2, np_),
+                dtype=jnp.bfloat16))
     elif fmt == "u4":
         packed = jnp.asarray(q.astype(np.uint8), dtype=jnp.uint4)
     else:
@@ -321,6 +339,7 @@ def build_quantized_weight(q: np.ndarray, zeros: np.ndarray,
         out_features=n,
         padded_in=kp,
         padded_out=np_,
+        **sb_kwargs,
     )
 
 
@@ -340,12 +359,20 @@ def dummy_quantized_weight(k: int, n: int, group_size: int = 128,
         packed = jnp.zeros((kp, np_), dtype=jnp.uint4)
     else:
         raise ValueError(fmt)
+    sb_kwargs = {}
+    if fmt == "i8pair":
+        sb_kwargs = dict(
+            scales_sb=jnp.ones((kp // SUPERBLOCK, 2, np_),
+                               dtype=jnp.bfloat16),
+            zeros_sb=jnp.full((kp // SUPERBLOCK, 2, np_), 8.0,
+                              dtype=jnp.bfloat16))
     return QuantizedWeight(
         packed=packed,
         scales=jnp.ones((kp // EFF_GROUP, np_), dtype=jnp.bfloat16),
         zeros=jnp.full((kp // EFF_GROUP, np_), 8.0, dtype=jnp.bfloat16),
         group_size=group_size, fmt=fmt,
-        in_features=k, out_features=n, padded_in=kp, padded_out=np_)
+        in_features=k, out_features=n, padded_in=kp, padded_out=np_,
+        **sb_kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +396,10 @@ def stack_quantized_weights(qws) -> QuantizedWeight:
         packed=jnp.stack([q.packed for q in qws]),
         scales=jnp.stack([q.scales for q in qws]),
         zeros=jnp.stack([q.zeros for q in qws]),
+        # The grouped MoE kernel reads the flat scale layout; drop the
+        # superblock views rather than carry base's stale ones.
+        scales_sb=None,
+        zeros_sb=None,
     )
 
 

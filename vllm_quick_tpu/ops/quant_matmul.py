@@ -898,8 +898,10 @@ def _fused_o_mlp_2d(h, res, wn, qwo: QuantizedWeight,
     )(h, res, wn, qwo.packed, qwo.scales, qwo.zeros,
       qw13.packed, qw13.scales, qw13.zeros, qw13.packed, qw13.scales,
       qw13.zeros, qw2.packed,
-      qw2.scales.reshape(mlp_steps, 2, dp),
-      qw2.zeros.reshape(mlp_steps, 2, dp))
+      qw2.scales_sb if qw2.scales_sb is not None
+      else qw2.scales.reshape(mlp_steps, 2, dp),
+      qw2.zeros_sb if qw2.zeros_sb is not None
+      else qw2.zeros.reshape(mlp_steps, 2, dp))
 
 
 def fused_o_mlp_norm(attn_out: jax.Array, res: jax.Array,
@@ -1116,8 +1118,10 @@ def _fused_mlp_2d(x, qw13: QuantizedWeight, qw2: QuantizedWeight, *,
         interpret=interpret,
     )(x, qw13.packed, qw13.scales, qw13.zeros, qw13.packed, qw13.scales,
       qw13.zeros, qw2.packed,
-      qw2.scales.reshape(steps, 2, dp),
-      qw2.zeros.reshape(steps, 2, dp))
+      qw2.scales_sb if qw2.scales_sb is not None
+      else qw2.scales.reshape(steps, 2, dp),
+      qw2.zeros_sb if qw2.zeros_sb is not None
+      else qw2.zeros.reshape(steps, 2, dp))
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
@@ -1182,8 +1186,10 @@ def _fused_mlp_norm_2d(h, res, wn, qw13: QuantizedWeight,
         interpret=interpret,
     )(h, res, wn, qw13.packed, qw13.scales, qw13.zeros, qw13.packed,
       qw13.scales, qw13.zeros, qw2.packed,
-      qw2.scales.reshape(steps, 2, dp),
-      qw2.zeros.reshape(steps, 2, dp))
+      qw2.scales_sb if qw2.scales_sb is not None
+      else qw2.scales.reshape(steps, 2, dp),
+      qw2.zeros_sb if qw2.zeros_sb is not None
+      else qw2.zeros.reshape(steps, 2, dp))
 
 
 def fused_mlp_norm(h: jax.Array, res: jax.Array, w_norm: jax.Array,

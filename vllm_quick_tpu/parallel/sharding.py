@@ -58,8 +58,19 @@ def _quant_pspecs(qw: QuantizedWeight, shard: str, tp_axis: str,
     if qw.lut is not None:
         # [N, 16] codebook follows the output dim.
         lut = P(tp_axis, None) if shard == "col" else P()
-    return dataclasses.replace(qw, packed=arr, scales=arr, zeros=arr,
-                               perm=perm, lut=lut)
+    sb = None
+    if qw.scales_sb is not None:
+        # [Kp//SUPERBLOCK, 2, Np] superblock view: same K/N roles as
+        # the flat scales, with the pair axis unsharded.
+        if shard == "col":
+            sb = P(*lead, None, None, tp_axis)
+        elif shard == "row":
+            sb = P(*lead, tp_axis, None, None)
+        else:
+            sb = P()
+    return dataclasses.replace(
+        qw, packed=arr, scales=arr, zeros=arr, perm=perm, lut=lut,
+        scales_sb=sb, zeros_sb=sb)
 
 
 def _linear_pspecs(lw: LinearWeights, tp_axis: str,
